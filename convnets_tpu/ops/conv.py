@@ -1,0 +1,100 @@
+"""2-D convolutions (standard / grouped / depthwise), NHWC, TPU-native.
+
+Covers the reference's conv surface: arbitrary kernel/stride/padding/dilation
+(reference basemodel.py:966-997), grouped conv with cardinality 32
+(resnext.py:93) and groups 1..8 (shufflenet_v1.py:119-141), and depthwise conv
+(basemodel.py:981-997, groups == in_channels).
+
+Layout decisions (TPU-first):
+  * activations NHWC — channels on the 128-lane minor dimension, the layout
+    XLA:TPU tiles onto the MXU without transposes;
+  * weights HWIO with I = in_channels // groups (feature_group_count);
+  * accumulation in float32 via ``preferred_element_type`` even when inputs
+    are bfloat16 (MXU accumulates in fp32 natively).
+
+Semantics are cross-correlation, matching torch.nn.Conv2d.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from convnets_tpu.core.shapes import to_pair
+
+DIMENSION_NUMBERS = ("NHWC", "HWIO", "NHWC")
+
+
+def conv2d(
+    x: jax.Array,
+    w: jax.Array,
+    b: jax.Array | None = None,
+    *,
+    stride=1,
+    padding=0,
+    dilation=1,
+    groups: int = 1,
+    accum_dtype=jnp.float32,
+):
+    """General 2-D convolution.
+
+    x: (N, H, W, C) — any float dtype (bf16 on the TPU hot path).
+    w: (kh, kw, C // groups, O).
+    b: (O,) or None.
+    padding: int or (ph, pw) — symmetric, matching torch's Conv2d padding.
+    Returns (N, H', W', O) in x.dtype (fp32-accumulated).
+    """
+    sh, sw = to_pair(stride)
+    ph, pw = to_pair(padding)
+    dh, dw = to_pair(dilation)
+    # fp32 inputs take the full-precision MXU path (3-pass bf16 decomposition)
+    # for torch parity; bf16 inputs (the hot path) use the native single pass.
+    precision = lax.Precision.HIGHEST if x.dtype == jnp.float32 else lax.Precision.DEFAULT
+    out = lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=(sh, sw),
+        padding=((ph, ph), (pw, pw)),
+        rhs_dilation=(dh, dw),
+        dimension_numbers=DIMENSION_NUMBERS,
+        feature_group_count=groups,
+        precision=precision,
+        preferred_element_type=accum_dtype,
+    )
+    if b is not None:
+        out = out + b.astype(accum_dtype)
+    return out.astype(x.dtype)
+
+
+def conv2d_depthwise(
+    x: jax.Array,
+    w: jax.Array,
+    b: jax.Array | None = None,
+    *,
+    stride=1,
+    padding=0,
+    dilation=1,
+    accum_dtype=jnp.float32,
+):
+    """Depthwise conv: one filter per input channel (groups == C).
+
+    w: (kh, kw, 1, C·multiplier). Equivalent to the reference's
+    conv2d_depthwise (basemodel.py:981-997, groups=in_channels).
+    """
+    c = x.shape[-1]
+    return conv2d(
+        x, w, b, stride=stride, padding=padding, dilation=dilation,
+        groups=c, accum_dtype=accum_dtype,
+    )
+
+
+def linear(x: jax.Array, w: jax.Array, b: jax.Array | None = None, *, accum_dtype=jnp.float32):
+    """Dense layer. x: (..., in), w: (in, out), b: (out,)."""
+    precision = (
+        jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+    )
+    out = jnp.dot(x, w.astype(x.dtype), precision=precision, preferred_element_type=accum_dtype)
+    if b is not None:
+        out = out + b.astype(accum_dtype)
+    return out.astype(x.dtype)
