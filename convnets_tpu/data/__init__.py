@@ -1,0 +1,11 @@
+from convnets_tpu.data.datasets import (  # noqa: F401
+    Dataset,
+    ArrayDataset,
+    ImageFolderDataset,
+    synthetic_dataset,
+    CINIC_MEAN,
+    CINIC_STD,
+)
+from convnets_tpu.data.loader import DataLoader, device_prefetch  # noqa: F401
+from convnets_tpu.data.augment import augment_batch, normalize  # noqa: F401
+from convnets_tpu.data.manager import DataMngr  # noqa: F401

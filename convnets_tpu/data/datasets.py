@@ -1,0 +1,143 @@
+"""Datasets.
+
+ImageFolderDataset is the torchvision ImageFolder equivalent the reference
+feeds into its DataLoaders (reference mngrdata.py:139-215): a directory of
+`<root>/<class>/<image>` files. Images are decoded on demand (PIL) by a
+host thread pool in the DataLoader; everything downstream of decode
+(augment/normalize) runs on device (data/augment.py).
+
+ArrayDataset serves in-memory numpy (MNIST/CIFAR-style arrays, synthetic
+test data, pre-decoded caches).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+IMG_EXTENSIONS = (".png", ".jpg", ".jpeg", ".bmp", ".ppm", ".webp")
+
+# Channel statistics of the CINIC-10 train split (reference mngrdata.py:61-62)
+CINIC_MEAN = np.array([0.47889522, 0.47227842, 0.43047404], np.float32)
+CINIC_STD = np.array([0.24205776, 0.23828046, 0.25874835], np.float32)
+
+
+class Dataset:
+    """Protocol: __len__, class_names, image_shape, load(indices)->(x,y).
+
+    load returns x as float32 NHWC scaled to [0,1] (pre-normalization,
+    matching torchvision ToTensor) and y as int32 labels.
+    """
+
+    class_names: List[str]
+    image_shape: Tuple[int, int, int]
+
+    def __len__(self) -> int:
+        raise NotImplementedError
+
+    def load(self, indices: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        raise NotImplementedError
+
+    def info(self) -> dict:
+        """Dataset summary incl. class distribution (reference mngrdata.py:74-137)."""
+        labels = self.all_labels()
+        counts = np.bincount(labels, minlength=len(self.class_names))
+        return {
+            "num_examples": len(self),
+            "num_classes": len(self.class_names),
+            "image_shape": tuple(self.image_shape),
+            "class_distribution": {
+                name: int(c) for name, c in zip(self.class_names, counts)
+            },
+        }
+
+    def all_labels(self) -> np.ndarray:
+        raise NotImplementedError
+
+
+class ArrayDataset(Dataset):
+    def __init__(self, images: np.ndarray, labels: np.ndarray,
+                 class_names: Optional[Sequence[str]] = None):
+        assert images.ndim == 4, "images must be NHWC"
+        assert len(images) == len(labels)
+        self.images = images
+        self.labels = np.asarray(labels, np.int32)
+        num_classes = int(self.labels.max()) + 1 if len(labels) else 0
+        self.class_names = list(class_names) if class_names else [
+            str(i) for i in range(num_classes)
+        ]
+        self.image_shape = tuple(images.shape[1:])
+
+    def __len__(self):
+        return len(self.images)
+
+    def load(self, indices):
+        x = self.images[indices]
+        if x.dtype == np.uint8:
+            x = x.astype(np.float32) / 255.0
+        return x.astype(np.float32), self.labels[indices]
+
+    def all_labels(self):
+        return self.labels
+
+
+class ImageFolderDataset(Dataset):
+    """<root>/<class_name>/<image files>, classes sorted alphabetically
+    (torchvision ImageFolder convention, so labels match the reference)."""
+
+    def __init__(self, root: str, image_size: Optional[Tuple[int, int]] = None):
+        if not os.path.isdir(root):
+            raise FileNotFoundError(root)
+        self.root = root
+        self.class_names = sorted(
+            d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d))
+        )
+        self._paths: List[str] = []
+        labels = []
+        for ci, cname in enumerate(self.class_names):
+            cdir = os.path.join(root, cname)
+            for fname in sorted(os.listdir(cdir)):
+                if fname.lower().endswith(IMG_EXTENSIONS):
+                    self._paths.append(os.path.join(cdir, fname))
+                    labels.append(ci)
+        self.labels = np.asarray(labels, np.int32)
+        self._size = image_size
+        if image_size is None:
+            x, _ = self.load(np.array([0]))
+            self.image_shape = tuple(x.shape[1:])
+        else:
+            self.image_shape = (*image_size, 3)
+
+    def __len__(self):
+        return len(self._paths)
+
+    def load(self, indices):
+        from PIL import Image
+
+        imgs = []
+        for i in indices:
+            with Image.open(self._paths[int(i)]) as im:
+                im = im.convert("RGB")
+                if self._size is not None and im.size != (self._size[1], self._size[0]):
+                    im = im.resize((self._size[1], self._size[0]), Image.BILINEAR)
+                imgs.append(np.asarray(im, np.uint8))
+        x = np.stack(imgs).astype(np.float32) / 255.0
+        return x, self.labels[indices]
+
+    def all_labels(self):
+        return self.labels
+
+
+def synthetic_dataset(n: int, image_shape=(32, 32, 3), num_classes=10, seed=0,
+                      learnable=True) -> ArrayDataset:
+    """Random images with a learnable class signal (per-class mean shift) so
+    integration tests can verify that training reduces loss."""
+    rng = np.random.RandomState(seed)
+    y = rng.randint(0, num_classes, size=n).astype(np.int32)
+    x = rng.rand(n, *image_shape).astype(np.float32)
+    if learnable:
+        shift = (y[:, None].astype(np.float32) / num_classes - 0.5) * 0.8
+        x = np.clip(x + shift[:, :, None, None], 0.0, 1.0)
+    return ArrayDataset(x, y)

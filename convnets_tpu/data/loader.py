@@ -1,0 +1,128 @@
+"""DataLoader: shuffled, seeded, fixed-shape batches with host-side decode
+prefetch and device double buffering.
+
+Replaces the reference's torch DataLoader(shuffle, pin_memory, num_workers)
+(mngrdata.py:158-163). TPU redesign:
+  * fixed batch shapes — the last partial batch is zero-padded and carries a
+    0/1 weight vector, so the jitted step never recompiles;
+  * a background thread decodes batch k+1 while batch k is on device
+    (double buffering); `device_prefetch` overlaps H2D with compute;
+  * per-host sharding hook (`shard(host_id, num_hosts)`) for multi-host DP:
+    each host iterates its disjoint slice of every epoch's permutation.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+from convnets_tpu.data.datasets import Dataset
+
+
+class DataLoader:
+    def __init__(self, dataset: Dataset, batch_size: int, *, shuffle: bool = False,
+                 seed: int = 0, drop_last: bool = False, num_prefetch: int = 2,
+                 host_id: int = 0, num_hosts: int = 1):
+        self.dataset = dataset
+        self.batch_size = int(batch_size)
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.num_prefetch = num_prefetch
+        self.host_id = host_id
+        self.num_hosts = num_hosts
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = self._host_count()
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    @property
+    def num_examples(self) -> int:
+        return len(self.dataset)
+
+    def _host_count(self) -> int:
+        n = len(self.dataset)
+        base = n // self.num_hosts
+        return base + (1 if self.host_id < n % self.num_hosts else 0)
+
+    def _epoch_indices(self) -> np.ndarray:
+        n = len(self.dataset)
+        if self.shuffle:
+            rng = np.random.RandomState((self.seed + self.epoch) % (2 ** 31))
+            order = rng.permutation(n)
+        else:
+            order = np.arange(n)
+        return order[self.host_id :: self.num_hosts]
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        """Yields (x, y, weights): x float32 NHWC in [0,1], y int32,
+        weights float32 0/1 (0 marks padding in the final batch)."""
+        order = self._epoch_indices()
+        self.epoch += 1
+        bs = self.batch_size
+        num_batches = len(order) // bs if self.drop_last else -(-len(order) // bs)
+
+        def produce(out_q: queue.Queue):
+            try:
+                for bi in range(num_batches):
+                    idx = order[bi * bs : (bi + 1) * bs]
+                    x, y = self.dataset.load(idx)
+                    k = len(idx)
+                    if k < bs:
+                        pad = bs - k
+                        x = np.concatenate([x, np.zeros((pad, *x.shape[1:]), x.dtype)])
+                        y = np.concatenate([y, np.zeros((pad,), y.dtype)])
+                    w = np.zeros((bs,), np.float32)
+                    w[:k] = 1.0
+                    out_q.put((x, y, w))
+                out_q.put(None)
+            except BaseException as e:  # surface worker errors to the consumer
+                out_q.put(e)
+
+        q: queue.Queue = queue.Queue(maxsize=self.num_prefetch)
+        t = threading.Thread(target=produce, args=(q,), daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+
+
+def device_prefetch(iterator, size: int = 2, sharding=None):
+    """Move batches to device `size` steps ahead of consumption.
+
+    With a NamedSharding, batches land pre-sharded across the mesh
+    (jax.device_put with sharding); otherwise default device placement.
+    """
+    import collections
+
+    import jax
+
+    buf = collections.deque()
+
+    def put(batch):
+        if sharding is not None:
+            return tuple(jax.device_put(b, sharding) for b in batch)
+        return tuple(jax.device_put(b) for b in batch)
+
+    it = iter(iterator)
+    try:
+        for _ in range(size):
+            buf.append(put(next(it)))
+    except StopIteration:
+        pass
+    while buf:
+        yield buf.popleft()
+        try:
+            buf.append(put(next(it)))
+        except StopIteration:
+            pass

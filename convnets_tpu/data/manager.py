@@ -1,0 +1,70 @@
+"""DataMngr — the reference's data-manager surface (mngrdata.py:40-215)
+mapped onto the TPU pipeline: load_train/load_valid/load_test returning
+DataLoaders over an ImageFolder layout (CINIC-10 by default), with
+augmentation/normalization applied on device by the training engine
+(data_augment/data_norm flags travel with the loader)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from convnets_tpu.data.datasets import CINIC_MEAN, CINIC_STD, ImageFolderDataset
+from convnets_tpu.data.loader import DataLoader
+
+
+class DataMngr:
+    ROOT_DIR = os.getcwd()
+    CINIC_DIR = os.path.join(ROOT_DIR, "data", "CINIC-10")
+
+    def __init__(self, setting, root: str | None = None):
+        self.setting = setting
+        self.root = root or DataMngr.CINIC_DIR
+        self.batch_size = setting.batch_size
+        self.data_augment = setting.data_augment
+        self.data_norm = setting.data_norm
+        self.mean = CINIC_MEAN
+        self.std = CINIC_STD
+        self._datasets = {}
+
+    def _dataset(self, split: str) -> ImageFolderDataset:
+        if split not in self._datasets:
+            self._datasets[split] = ImageFolderDataset(os.path.join(self.root, split))
+        return self._datasets[split]
+
+    def load_train(self, host_id: int = 0, num_hosts: int = 1) -> DataLoader:
+        loader = DataLoader(
+            self._dataset("train"), self.batch_size, shuffle=True,
+            seed=self.setting.seed, host_id=host_id, num_hosts=num_hosts,
+        )
+        loader.augment = self.data_augment
+        loader.normalize = self.data_norm
+        return loader
+
+    def load_valid(self, host_id: int = 0, num_hosts: int = 1) -> DataLoader:
+        loader = DataLoader(
+            self._dataset("valid"), self.batch_size, shuffle=False,
+            host_id=host_id, num_hosts=num_hosts,
+        )
+        loader.augment = False
+        loader.normalize = self.data_norm
+        return loader
+
+    def load_test(self, host_id: int = 0, num_hosts: int = 1) -> DataLoader:
+        # the reference shuffles the test loader deliberately for its
+        # statistical subsampling protocol (mngrdata.py:211)
+        loader = DataLoader(
+            self._dataset("test"), self.batch_size, shuffle=True,
+            seed=self.setting.seed, host_id=host_id, num_hosts=num_hosts,
+        )
+        loader.augment = False
+        loader.normalize = self.data_norm
+        return loader
+
+    def info(self, split: str = "train") -> dict:
+        return self._dataset(split).info()
+
+    def inv_normalized(self, x: np.ndarray) -> np.ndarray:
+        """Undo per-channel normalization (reference mngrdata.py:64-72)."""
+        return x * self.std + self.mean

@@ -1,0 +1,6 @@
+from convnets_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    data_sharding,
+    replicated,
+    shard_batch,
+)

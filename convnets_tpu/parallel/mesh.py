@@ -1,0 +1,54 @@
+"""Device mesh + sharding layout for SPMD data parallelism.
+
+The reference is single-GPU (mngrdevice.py:18); the TPU-native replacement
+is GSPMD: one logical program over a jax.sharding.Mesh, batch dimension
+sharded over the 'data' axis, parameters/optimizer state replicated. XLA
+inserts the gradient all-reduce (psum over ICI) automatically from the
+sharding propagation — there is no hand-written collective in the train
+step. BatchNorm statistics are computed over the *global* batch (reductions
+over a sharded axis lower to ICI collectives), i.e. sync-BN for free.
+
+Tested on a CPU-simulated 8-device mesh (tests/conftest.py) — the TPU
+analogue of multi-node simulation.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices: Optional[Sequence] = None, axis_name: str = "data",
+              mesh_shape=None) -> Mesh:
+    """1-D data-parallel mesh over all (or the given) devices.
+
+    mesh_shape: optional tuple for future nD layouts; a 1-D (N,) shape is
+    the DP-only layout that matches the reference's capability surface
+    (SURVEY.md §2.3).
+    """
+    if devices is None:
+        devices = jax.devices()
+    devices = np.asarray(devices)
+    if mesh_shape is not None:
+        devices = devices.reshape(mesh_shape)
+        axis_names = tuple(f"axis{i}" for i in range(devices.ndim - 1)) + (axis_name,)
+        return Mesh(devices, axis_names)
+    return Mesh(devices, (axis_name,))
+
+
+def data_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Batch-dim sharding for (B, ...) arrays."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch, axis_name: str = "data"):
+    """Place host arrays as global arrays sharded on the batch axis."""
+    s = data_sharding(mesh, axis_name)
+    return tuple(jax.device_put(b, s) for b in batch)

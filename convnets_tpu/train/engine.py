@@ -1,0 +1,512 @@
+"""Training/evaluation engine.
+
+Reproduces the observable semantics of the reference engine
+(basemodel.py:180-722): sum-reduction cross entropy averaged over the
+dataset (not over batches), best-checkpoint gating on valid loss/score,
+ReduceLROnPlateau with rollback-to-best-params when the LR drops
+(basemodel.py:460-467), early stopping after es_patience+1 non-improving
+epochs, resume with history truncation and train-time proration
+(basemodel.py:374-393), sanity_check single-batch mode, and the
+warmup-then-timed throughput benchmark protocol (basemodel.py:601-722).
+
+TPU-native execution model: ONE jitted train step (forward+backward+Adam
+fused by XLA) over a jax.sharding.Mesh — batch sharded on the 'data' axis,
+state replicated; gradient all-reduce over ICI is inserted by GSPMD.
+On-device fused augmentation+normalization runs inside the same jit.
+Host↔device traffic is double-buffered (data/loader.device_prefetch).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from convnets_tpu import ops
+from convnets_tpu.core.rng import key_for
+from convnets_tpu.data.augment import augment_batch, normalize
+from convnets_tpu.data.loader import DataLoader, device_prefetch
+from convnets_tpu.models.base import Model
+from convnets_tpu.parallel.mesh import data_sharding, make_mesh, replicated
+from convnets_tpu.train import checkpoint as ckpt
+from convnets_tpu.train import metrics as M
+from convnets_tpu.train import optim
+from convnets_tpu.train.scheduler import ReduceLROnPlateau, scheduler_from_state
+from convnets_tpu.train.state import TrainState, create_train_state, merge_state
+
+
+def _fresh_epoch_results() -> dict:
+    return {
+        "train_loss": [], "train_score": [], "valid_loss": [], "valid_score": [],
+        "learning_rate": [], "train_epochs": 0, "total_epochs": 0, "train_time": 0.0,
+    }
+
+
+class Trainer:
+    """fit / evaluate / test / checkpoint for one Model."""
+
+    def __init__(self, model: Model, optimizer: str = "adam",
+                 mesh=None, use_mesh: bool = True):
+        self.model = model
+        self.setting = model.setting
+        self.optimizer_name = optimizer
+        self.mesh = mesh if mesh is not None else (make_mesh() if use_mesh else None)
+        self.state: Optional[TrainState] = None
+        self.scheduler: Optional[ReduceLROnPlateau] = None
+        self.epoch_results: Optional[dict] = None
+        self.class_names = None
+        self.confusion_matrix = None
+        self.classification_report = None
+        self.model_path = self._checkpoint_path()
+        self._train_step_fns = {}
+        self._eval_step_fns = {}
+
+    # ------------------------------------------------------------------
+    # construction / state
+
+    def _checkpoint_path(self) -> str:
+        suffix = ckpt.SUFFIX_BEST_LOSS if self.setting.loss_optim else ckpt.SUFFIX_BEST_SCORE
+        return ckpt.checkpoint_path(
+            self.setting.output_dir, self.model.model_name, self.model.version, suffix
+        )
+
+    def init_state(self) -> TrainState:
+        variables = self.model.init(key_for(self.setting.seed, "init"))
+        self.state = create_train_state(variables, self.setting, self.optimizer_name)
+        if self.mesh is not None:
+            rep = replicated(self.mesh)
+            self.state = jax.device_put(self.state, rep)
+        return self.state
+
+    def init_optimizer(self):
+        """Fresh scheduler (reference init_optimizer, basemodel.py:58-83)."""
+        mode = "min" if self.setting.loss_optim else "max"
+        self.scheduler = ReduceLROnPlateau(
+            lr=self.setting.learning_rate, mode=mode,
+            factor=self.setting.lr_factor, patience=self.setting.lr_patience,
+        )
+
+    # ------------------------------------------------------------------
+    # jitted steps
+
+    def _shardings(self):
+        if self.mesh is None:
+            return None, None
+        return data_sharding(self.mesh), replicated(self.mesh)
+
+    def _get_train_step(self, augment: bool, norm: bool):
+        key = (augment, norm)
+        if key in self._train_step_fns:
+            return self._train_step_fns[key]
+
+        setting = self.setting
+        model = self.model
+        wd = float(setting.weight_decay)
+        clip_norm = float(setting.gc_max_norm) if setting.grad_clip_norm else None
+        clip_value = float(setting.gc_value) if setting.grad_clip_value else None
+        opt_name = self.optimizer_name
+
+        def train_step(state: TrainState, x, y, w, rng):
+            aug_key, drop_key = jax.random.split(rng)
+            if augment:
+                x = augment_batch(aug_key, x)
+            if norm:
+                x = normalize(x)
+            x = x.astype(model.policy.compute_dtype)
+
+            def loss_fn(params):
+                logits, state_updates = model.module.apply(
+                    {"params": params, "state": state.model_state},
+                    x, train=True, rng=drop_key,
+                )
+                logits = logits.astype(jnp.float32)
+                loss = ops.cross_entropy_sum(logits, y, w)
+                return loss * state.loss_scale, (logits, state_updates)
+
+            (scaled_loss, (logits, state_updates)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
+            loss = scaled_loss / state.loss_scale
+            grads = jax.tree.map(lambda g: g / state.loss_scale, grads)
+            if clip_norm is not None:
+                grads = optim.clip_by_global_norm(grads, clip_norm)
+            if clip_value is not None:
+                grads = optim.clip_by_value(grads, clip_value)
+
+            if opt_name == "adam":
+                new_params, new_opt = optim.adam_update(
+                    grads, state.opt_state, state.params, lr=state.lr, weight_decay=wd
+                )
+            else:
+                new_params, new_opt = optim.sgd_update(
+                    grads, state.opt_state, state.params, lr=state.lr,
+                    weight_decay=wd, momentum=0.9,
+                )
+            correct = ops.correct_count(logits, y, w)
+            new_state = state._replace(
+                params=new_params,
+                model_state=merge_state(state.model_state, state_updates),
+                opt_state=new_opt,
+            )
+            return new_state, loss, correct
+
+        data_s, rep_s = self._shardings()
+        if self.mesh is not None:
+            fn = jax.jit(
+                train_step,
+                in_shardings=(rep_s, data_s, data_s, data_s, rep_s),
+                out_shardings=(rep_s, rep_s, rep_s),
+                donate_argnums=(0,),
+            )
+        else:
+            fn = jax.jit(train_step, donate_argnums=(0,))
+        self._train_step_fns[key] = fn
+        return fn
+
+    def _get_eval_step(self, norm: bool):
+        if norm in self._eval_step_fns:
+            return self._eval_step_fns[norm]
+        model = self.model
+
+        def eval_step(state: TrainState, x, y, w):
+            if norm:
+                x = normalize(x)
+            x = x.astype(model.policy.compute_dtype)
+            logits, _ = model.module.apply(
+                {"params": state.params, "state": state.model_state}, x, train=False
+            )
+            logits = logits.astype(jnp.float32)
+            loss = ops.cross_entropy_sum(logits, y, w)
+            correct = ops.correct_count(logits, y, w)
+            preds = jnp.argmax(logits, axis=-1)
+            return loss, correct, preds
+
+        data_s, rep_s = self._shardings()
+        if self.mesh is not None:
+            fn = jax.jit(
+                eval_step,
+                in_shardings=(rep_s, data_s, data_s, data_s),
+                out_shardings=(rep_s, rep_s, data_s),
+            )
+        else:
+            fn = jax.jit(eval_step)
+        self._eval_step_fns[norm] = fn
+        return fn
+
+    # ------------------------------------------------------------------
+    # epoch phases
+
+    def _run_train_epoch(self, loader: DataLoader, epoch_index: int):
+        augment = bool(getattr(loader, "augment", False)) and self.setting.data_augment
+        norm = bool(getattr(loader, "normalize", False)) or self.setting.data_norm
+        step_fn = self._get_train_step(augment, norm)
+        data_s, _ = self._shardings()
+        base_key = key_for(self.setting.seed, "dropout", epoch_index)
+
+        loss_sum = 0.0
+        correct_sum = 0.0
+        for step, (x, y, w) in enumerate(
+            device_prefetch(loader, size=2, sharding=data_s)
+        ):
+            rng = jax.random.fold_in(base_key, step)
+            self.state, loss, correct = step_fn(self.state, x, y, w, rng)
+            loss_sum += float(loss)
+            correct_sum += float(correct)
+            if self.setting.sanity_check:
+                break
+        n = loader.num_examples
+        return loss_sum / n, correct_sum / n
+
+    def _run_eval_epoch(self, loader: DataLoader, collect_preds: bool = False):
+        norm = bool(getattr(loader, "normalize", False)) or self.setting.data_norm
+        step_fn = self._get_eval_step(norm)
+        data_s, _ = self._shardings()
+
+        loss_sum = 0.0
+        correct_sum = 0.0
+        all_preds, all_targets = [], []
+        for x, y, w in device_prefetch(loader, size=2, sharding=data_s):
+            loss, correct, preds = step_fn(self.state, x, y, w)
+            loss_sum += float(loss)
+            correct_sum += float(correct)
+            if collect_preds:
+                k = int(np.sum(np.asarray(w) > 0))
+                all_preds.append(np.asarray(preds)[:k])
+                all_targets.append(np.asarray(y)[:k])
+            if self.setting.sanity_check:
+                break
+        n = loader.num_examples
+        out = (loss_sum / n, correct_sum / n)
+        if collect_preds:
+            preds = np.concatenate(all_preds) if all_preds else np.zeros(0, np.int64)
+            targets = np.concatenate(all_targets) if all_targets else np.zeros(0, np.int64)
+            return (*out, targets, preds)
+        return out
+
+    # ------------------------------------------------------------------
+    # fit (reference basemodel.py:395-495)
+
+    def update_epoch_results(self):
+        """Truncate history to the best epoch; prorate train time
+        (reference basemodel.py:374-393)."""
+        r = self.epoch_results
+        best = r["train_epochs"]
+        for k in ("train_loss", "valid_loss", "train_score", "valid_score",
+                  "learning_rate"):
+            r[k] = r[k][:best]
+        epoch_time = float(r["train_time"]) / max(int(r["total_epochs"]), 1)
+        r["train_time"] = epoch_time * int(best)
+        r["total_epochs"] = best
+
+    def fit(self, trainset: DataLoader, validset: DataLoader, resume: bool = False):
+        if resume:
+            if self.state is None or self.epoch_results is None:
+                raise RuntimeError("resume=True requires load_checkpoint() first")
+            self.update_epoch_results()
+            best_valid_score = self.epoch_results["valid_score"][-1] if self.epoch_results["valid_score"] else -1
+            best_valid_loss = self.epoch_results["valid_loss"][-1] if self.epoch_results["valid_loss"] else float("inf")
+        else:
+            if self.state is None:
+                self.init_state()
+            self.init_optimizer()
+            self.epoch_results = _fresh_epoch_results()
+            best_valid_score = -1
+            best_valid_loss = float("inf")
+
+        best_snapshot = (self.state.params, self.state.model_state)
+        epochs_no_improve = 0
+
+        jax.block_until_ready(self.state.params)
+        start_time = time.perf_counter()
+        print("\n=== RESUME TRAINING ===\n" if resume else "\n=== START TRAINING ===\n")
+
+        epoch = 0
+        for epoch in range(self.setting.epochs):
+            curr_lr = float(self.state.lr)
+
+            train_loss, train_score = self._run_train_epoch(trainset, epoch)
+            valid_loss, valid_score = self._run_eval_epoch(validset)
+
+            self._end_epoch(train_loss, train_score, valid_loss, valid_score,
+                            curr_lr, epoch + 1)
+
+            if self.setting.loss_optim:
+                improved = valid_loss < best_valid_loss
+                if improved:
+                    best_valid_loss = valid_loss
+            else:
+                improved = valid_score > best_valid_score
+                if improved:
+                    best_valid_score = valid_score
+            if improved:
+                best_snapshot = (self.state.params, self.state.model_state)
+                self.save_checkpoint()
+                print("Best validation metric achieved; parameters snapshotted")
+                epochs_no_improve = 0
+            else:
+                epochs_no_improve += 1
+
+            metric = valid_loss if self.setting.loss_optim else valid_score
+            new_lr = self.scheduler.step(metric)
+            if curr_lr != new_lr:
+                # rollback to best params when the LR drops (basemodel.py:465-467;
+                # the reference restores model weights only, optimizer moments stay)
+                self.state = self.state._replace(
+                    params=best_snapshot[0],
+                    model_state=best_snapshot[1],
+                    lr=jnp.asarray(new_lr, jnp.float32),
+                )
+                print(f"No improvement after {self.setting.lr_patience + 1} epochs: "
+                      f"lr -> {new_lr:.2e}, continuing from best parameters")
+
+            if self.setting.early_stop and self.setting.es_patience + 1 == epochs_no_improve:
+                print(f"Early stopped after {epoch + 1} epochs "
+                      f"({epochs_no_improve} non-improving)")
+                break
+
+        jax.block_until_ready(self.state.params)
+        train_time = time.perf_counter() - start_time
+        self.epoch_results["train_time"] = float(self.epoch_results["train_time"]) + train_time
+        print(f"Training time: {train_time:.3f}s")
+
+        # merge full history into the best checkpoint (basemodel.py:482-491)
+        self.epoch_results["total_epochs"] += epoch + 1
+        total_results = {k: (list(v) if isinstance(v, list) else v)
+                         for k, v in self.epoch_results.items()}
+        try:
+            best_meta = self.load_checkpoint(path=self.model_path)
+            total_results["train_epochs"] = best_meta["epoch_results"]["train_epochs"]
+            self.epoch_results = total_results
+            self.save_checkpoint(path=self.model_path)
+        except FileNotFoundError:
+            self.epoch_results = total_results
+
+        print("\n=== TRAINING IS FINISHED ===\n")
+        return self
+
+    def _end_epoch(self, train_loss, train_score, valid_loss, valid_score, lr, epoch):
+        r = self.epoch_results
+        already = r["total_epochs"]
+        r["train_loss"].append(train_loss)
+        r["valid_loss"].append(valid_loss)
+        r["train_score"].append(train_score)
+        r["valid_score"].append(valid_score)
+        r["learning_rate"].append(lr)
+        r["train_epochs"] = already + epoch
+        print(f"EPOCH {already + epoch}/{already + self.setting.epochs}")
+        print(f"Train Loss: {train_loss:.6f}  Valid Loss: {valid_loss:.6f}")
+        print(f"Train Acc:  {train_score * 100:.3f}%  Valid Acc: {valid_score * 100:.3f}%")
+        print(f"LR: {lr}")
+
+    # ------------------------------------------------------------------
+    # evaluate / test (reference basemodel.py:498-722)
+
+    def eval_score(self, y_targets, y_preds, info=True) -> float:
+        acc = M.accuracy_score(y_targets, y_preds)
+        if info:
+            print(f"Accuracy: {acc * 100:.2f}%")
+        return acc
+
+    def evaluate(self, loader: DataLoader, info: bool = True) -> float:
+        if self.state is None:
+            self.init_state()
+        loss, score, targets, preds = self._run_eval_epoch(loader, collect_preds=True)
+        num_classes = self.setting.num_classes
+        self.class_names = getattr(loader.dataset, "class_names", None)
+        self.confusion_matrix = M.confusion_matrix(targets, preds, num_classes)
+        report, report_str = M.classification_report(
+            targets, preds, num_classes, self.class_names
+        )
+        self.classification_report = report
+        if info:
+            print(report_str)
+        return self.eval_score(targets, preds, info=info)
+
+    def inference_time(self, times: np.ndarray, num_images: int, info=True):
+        """Latency/throughput stats (reference basemodel.py:579-599)."""
+        total_s = float(np.sum(times))
+        per_image_mean = total_s / max(num_images, 1)
+        per_image_std = float(np.std(times / max(self.setting.batch_size, 1)))
+        fps = num_images / total_s if total_s > 0 else 0.0
+        if info:
+            print(f"Inference time: total {total_s:.3f}s, "
+                  f"per-image {per_image_mean * 1e3:.3f}ms ± {per_image_std * 1e3:.3f}ms, "
+                  f"throughput {fps:.1f} img/s")
+        return total_s, per_image_mean, per_image_std, fps
+
+    def test(self, loader: DataLoader, num_warmup: int = 50):
+        """Timed benchmark testing: warmup forwards on random input, then
+        per-batch timed eval with block_until_ready, classification report,
+        and the test_sample_size-subset accuracy sampling used for
+        cross-model statistical comparison (basemodel.py:601-722)."""
+        if self.state is None:
+            self.init_state()
+        norm = bool(getattr(loader, "normalize", False)) or self.setting.data_norm
+        step_fn = self._get_eval_step(norm)
+        data_s, _ = self._shardings()
+
+        bs = loader.batch_size
+        shape = (bs, *self.model.input_shape_nhwc)
+        warm_key = key_for(self.setting.seed, "bench")
+        x_w = jax.random.uniform(warm_key, shape, jnp.float32)
+        if data_s is not None:
+            x_w = jax.device_put(x_w, data_s)
+        y_w = jnp.zeros((bs,), jnp.int32)
+        w_w = jnp.ones((bs,), jnp.float32)
+        for _ in range(num_warmup):
+            out = step_fn(self.state, x_w, y_w, w_w)
+        jax.block_until_ready(out)
+
+        times = []
+        all_preds, all_targets = [], []
+        num_images = 0
+        for x, y, w in device_prefetch(loader, size=2, sharding=data_s):
+            t0 = time.perf_counter()
+            loss, correct, preds = step_fn(self.state, x, y, w)
+            jax.block_until_ready(preds)
+            times.append(time.perf_counter() - t0)
+            k = int(np.sum(np.asarray(w) > 0))
+            num_images += k
+            all_preds.append(np.asarray(preds)[:k])
+            all_targets.append(np.asarray(y)[:k])
+            if self.setting.sanity_check:
+                break
+
+        targets = np.concatenate(all_targets)
+        preds = np.concatenate(all_preds)
+        num_classes = self.setting.num_classes
+        self.class_names = getattr(loader.dataset, "class_names", None)
+        self.confusion_matrix = M.confusion_matrix(targets, preds, num_classes)
+        self.classification_report, report_str = M.classification_report(
+            targets, preds, num_classes, self.class_names
+        )
+        print(report_str)
+
+        # subset accuracy samples for statistical model comparison
+        part = max(len(targets) // max(self.setting.test_sample_size, 1), 1)
+        scores = [
+            M.accuracy_score(targets[i: i + part], preds[i: i + part])
+            for i in range(0, len(targets), part)
+            if len(targets[i: i + part])
+        ]
+        times_arr = np.asarray(times)
+        _, _, _, fps = self.inference_time(times_arr, num_images)
+        return scores, times_arr, fps
+
+    # ------------------------------------------------------------------
+    # checkpointing (reference basemodel.py:834-948)
+
+    def save_checkpoint(self, path: Optional[str] = None) -> str:
+        path = path or self.model_path
+        return ckpt.save_checkpoint(
+            path,
+            params=jax.device_get(self.state.params),
+            model_state=jax.device_get(self.state.model_state),
+            opt_state=jax.device_get(self.state.opt_state),
+            lr=jax.device_get(self.state.lr),
+            loss_scale=jax.device_get(self.state.loss_scale),
+            epoch_results=self.epoch_results or _fresh_epoch_results(),
+            settings_dict=self.setting.to_dict(),
+            scheduler_state=self.scheduler.to_state() if self.scheduler else {},
+            optimizer_name=self.optimizer_name,
+        )
+
+    def load_checkpoint(self, path: Optional[str] = None) -> dict:
+        """Restore params/opt/scheduler/history; returns the checkpoint meta."""
+        if path is None:
+            path = ckpt.get_last_checkpoint(self.setting.output_dir, self.model.model_name)
+            if path is None:
+                raise FileNotFoundError(
+                    f"no checkpoint for {self.model.model_name} in {self.setting.output_dir}"
+                )
+        trees, meta = ckpt.load_checkpoint(path)
+        opt_state = ckpt.rebuild_opt_state(trees["opt_state"], meta["optimizer"])
+        self.state = TrainState(
+            params=trees["params"],
+            model_state=trees["model_state"],
+            opt_state=opt_state,
+            lr=jnp.asarray(trees["lr"], jnp.float32),
+            loss_scale=jnp.asarray(trees["loss_scale"], jnp.float32),
+        )
+        if self.mesh is not None:
+            self.state = jax.device_put(self.state, replicated(self.mesh))
+        self.epoch_results = meta["epoch_results"]
+        if meta.get("scheduler"):
+            self.scheduler = scheduler_from_state(meta["scheduler"])
+        else:
+            self.init_optimizer()
+        # re-apply saved hyper-parameters onto the live Settings
+        hp = {k: v for k, v in meta["settings"].items()
+              if k in self.setting.get_hparams_names()}
+        self.setting.load_values(hp)
+        return meta
+
+    def update_checkpoint(self, path: Optional[str] = None):
+        self.save_checkpoint(path)
+
+    def print_summary(self):
+        print(self.model.summary())
