@@ -1,0 +1,103 @@
+"""Benchmark: ResNet-50/ImageNet-shape training throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "img/s", "vs_baseline": N}
+
+vs_baseline is the fraction of the north-star target (BASELINE.json):
+>=90% of the XLA speed-of-light images/sec/chip on TPU v5e. Speed of light
+for ResNet-50 train (fwd+bwd ≈ 3 × 4.09 GFLOP at 224×224) on v5e
+(197 bf16 TFLOP/s) is ~16,000 img/s, so the target is 0.9 × 16,000 = 14,400;
+vs_baseline = measured / 14,400 (≥1.0 means the north star is met).
+
+Protocol: synthetic on-device data (input pipeline measured separately),
+jitted full train step (fwd+bwd+Adam+BN), 5 warmup steps (amortizes compile),
+then 20 timed steps bracketed with block_until_ready.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+TARGET_IMG_PER_SEC = 14400.0  # 90% of v5e speed-of-light for RN50 train
+
+
+def measure(batch: int, image: int, kind: str, warmup: int = 5, steps: int = 20):
+    from convnets_tpu.models import build_model
+    from convnets_tpu.settings import Settings
+    from convnets_tpu.train.engine import Trainer
+
+    setting = Settings(
+        kind=kind, input_size=(3, image, image), num_classes=1000,
+        batch_size=batch, mixed_precision=True, data_augment=False,
+        data_norm=False, dropout_rate=0.5, weight_decay=1e-4,
+    )
+    model = build_model("resnet", setting)
+    trainer = Trainer(model)
+    trainer.init_state()
+    step_fn = trainer._get_train_step(augment=False, norm=False)
+
+    key = jax.random.key(0)
+    x = jax.random.uniform(key, (batch, image, image, 3), jnp.bfloat16)
+    y = jax.random.randint(jax.random.key(1), (batch,), 0, 1000, jnp.int32)
+    w = jnp.ones((batch,), jnp.float32)
+
+    import numpy as np
+
+    state = trainer.state
+    for i in range(warmup):
+        state, loss, correct = step_fn(state, x, y, w, jax.random.fold_in(key, i))
+    # D2H readback, not block_until_ready: the scalar forces the whole
+    # dependent step chain to have executed on-device before it can land
+    # on the host (block_until_ready alone can return before remote
+    # execution completes behind a PJRT tunnel).
+    _ = np.asarray(loss)
+
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state, loss, correct = step_fn(state, x, y, w, jax.random.fold_in(key, 100 + i))
+    _ = np.asarray(loss)
+    dt = time.perf_counter() - t0
+    return batch * steps / dt
+
+
+def main():
+    platform = jax.devices()[0].platform
+    on_tpu = platform == "tpu"
+    if on_tpu:
+        configs = [(256, 224, "50"), (128, 224, "50"), (64, 224, "50")]
+    else:  # CPU smoke fallback so the bench never hard-fails in dev
+        configs = [(8, 64, "18")]
+
+    value = None
+    last_err = None
+    for batch, image, kind in configs:
+        try:
+            value = measure(batch, image, kind)
+            break
+        except Exception as e:  # OOM → try smaller batch
+            last_err = e
+            continue
+    if value is None:
+        print(json.dumps({
+            "metric": "images_per_sec_per_chip_resnet50_train",
+            "value": 0.0, "unit": "img/s", "vs_baseline": 0.0,
+            "error": str(last_err)[:200],
+        }))
+        sys.exit(0)
+
+    print(json.dumps({
+        "metric": "images_per_sec_per_chip_resnet50_train"
+        if on_tpu else "images_per_sec_cpu_smoke_resnet18_train",
+        "value": round(value, 2),
+        "unit": "img/s",
+        "vs_baseline": round(value / TARGET_IMG_PER_SEC, 4) if on_tpu else 0.0,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -68,9 +68,11 @@ class Conv2d(Module):
 
     def apply(self, variables, x, *, train=False, rng=None):
         p = variables["params"]
-        x = x.astype(self.policy.compute_dtype)
+        cd = self.policy.compute_dtype
+        x = x.astype(cd)
+        b = p.get("b")
         y = ops.conv2d(
-            x, p["w"], p.get("b"),
+            x, p["w"].astype(cd), None if b is None else b.astype(cd),
             stride=self.stride, padding=self.padding, dilation=self.dilation,
             groups=self.groups, accum_dtype=self.policy.accum_dtype,
         )
@@ -141,8 +143,11 @@ class Linear(Module):
 
     def apply(self, variables, x, *, train=False, rng=None):
         p = variables["params"]
-        x = x.astype(self.policy.compute_dtype)
-        return ops.linear(x, p["w"], p.get("b"), accum_dtype=self.policy.accum_dtype), {}
+        cd = self.policy.compute_dtype
+        x = x.astype(cd)
+        b = p.get("b")
+        return ops.linear(x, p["w"].astype(cd), None if b is None else b.astype(cd),
+                          accum_dtype=self.policy.accum_dtype), {}
 
     def __repr__(self):
         return f"Linear({self.out_features})"

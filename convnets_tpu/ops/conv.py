@@ -50,7 +50,12 @@ def conv2d(
     dh, dw = to_pair(dilation)
     # fp32 inputs take the full-precision MXU path (3-pass bf16 decomposition)
     # for torch parity; bf16 inputs (the hot path) use the native single pass.
+    # preferred_element_type must equal the operand dtype for bf16: the conv
+    # transpose rule re-binds conv on (operand, cotangent) and a widened
+    # cotangent dtype would mismatch — the MXU accumulates fp32 internally
+    # regardless, so bf16-in/bf16-out loses nothing.
     precision = lax.Precision.HIGHEST if x.dtype == jnp.float32 else lax.Precision.DEFAULT
+    pet = accum_dtype if x.dtype == accum_dtype else None
     out = lax.conv_general_dilated(
         x,
         w.astype(x.dtype),
@@ -60,10 +65,10 @@ def conv2d(
         dimension_numbers=DIMENSION_NUMBERS,
         feature_group_count=groups,
         precision=precision,
-        preferred_element_type=accum_dtype,
+        preferred_element_type=pet,
     )
     if b is not None:
-        out = out + b.astype(accum_dtype)
+        out = out + b.astype(out.dtype)
     return out.astype(x.dtype)
 
 
@@ -94,7 +99,8 @@ def linear(x: jax.Array, w: jax.Array, b: jax.Array | None = None, *, accum_dtyp
     precision = (
         jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else jax.lax.Precision.DEFAULT
     )
-    out = jnp.dot(x, w.astype(x.dtype), precision=precision, preferred_element_type=accum_dtype)
+    pet = accum_dtype if x.dtype == accum_dtype else None
+    out = jnp.dot(x, w.astype(x.dtype), precision=precision, preferred_element_type=pet)
     if b is not None:
-        out = out + b.astype(accum_dtype)
+        out = out + b.astype(out.dtype)
     return out.astype(x.dtype)

@@ -21,10 +21,12 @@ def max_pool2d(x: jax.Array, kernel, stride=None, padding=0):
         stride = kernel
     sh, sw = to_pair(stride)
     ph, pw = to_pair(padding)
-    neg_inf = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    # init must be a Python scalar so JAX recognizes the max monoid and uses
+    # the transposable reduce_window_max primitive (autodiff under jit).
+    neg_inf = -float("inf") if jnp.issubdtype(x.dtype, jnp.floating) else int(jnp.iinfo(x.dtype).min)
     return lax.reduce_window(
         x,
-        init_value=jnp.array(neg_inf, x.dtype),
+        init_value=neg_inf,
         computation=lax.max,
         window_dimensions=(1, kh, kw, 1),
         window_strides=(1, sh, sw, 1),
@@ -41,7 +43,7 @@ def avg_pool2d(x: jax.Array, kernel, stride=None, padding=0):
     ph, pw = to_pair(padding)
     summed = lax.reduce_window(
         x.astype(jnp.float32),
-        init_value=jnp.float32(0),
+        init_value=0.0,
         computation=lax.add,
         window_dimensions=(1, kh, kw, 1),
         window_strides=(1, sh, sw, 1),

@@ -200,9 +200,19 @@ class Trainer:
     # ------------------------------------------------------------------
     # epoch phases
 
+    def _resolve_flags(self, loader, train: bool):
+        """Loader-attached flags win; otherwise fall back to Settings
+        (data_augment applies to training only, as in mngrdata.py:139-190)."""
+        augment = getattr(loader, "augment", None)
+        if augment is None:
+            augment = self.setting.data_augment and train
+        norm = getattr(loader, "normalize", None)
+        if norm is None:
+            norm = self.setting.data_norm
+        return bool(augment), bool(norm)
+
     def _run_train_epoch(self, loader: DataLoader, epoch_index: int):
-        augment = bool(getattr(loader, "augment", False)) and self.setting.data_augment
-        norm = bool(getattr(loader, "normalize", False)) or self.setting.data_norm
+        augment, norm = self._resolve_flags(loader, train=True)
         step_fn = self._get_train_step(augment, norm)
         data_s, _ = self._shardings()
         base_key = key_for(self.setting.seed, "dropout", epoch_index)
@@ -222,7 +232,7 @@ class Trainer:
         return loss_sum / n, correct_sum / n
 
     def _run_eval_epoch(self, loader: DataLoader, collect_preds: bool = False):
-        norm = bool(getattr(loader, "normalize", False)) or self.setting.data_norm
+        _, norm = self._resolve_flags(loader, train=False)
         step_fn = self._get_eval_step(norm)
         data_s, _ = self._shardings()
 
@@ -277,7 +287,17 @@ class Trainer:
             best_valid_score = -1
             best_valid_loss = float("inf")
 
-        best_snapshot = (self.state.params, self.state.model_state)
+        def snapshot():
+            # deep-copy: the live state's buffers get DONATED to the next
+            # jitted step, so aliasing them would leave deleted arrays here
+            return (
+                jax.tree.map(jnp.copy, self.state.params),
+                jax.tree.map(jnp.copy, self.state.model_state),
+            )
+
+        # sync the device lr scalar with the scheduler's host-side value
+        self.state = self.state._replace(lr=jnp.asarray(self.scheduler.lr, jnp.float32))
+        best_snapshot = snapshot()
         epochs_no_improve = 0
 
         jax.block_until_ready(self.state.params)
@@ -286,7 +306,7 @@ class Trainer:
 
         epoch = 0
         for epoch in range(self.setting.epochs):
-            curr_lr = float(self.state.lr)
+            curr_lr = self.scheduler.lr
 
             train_loss, train_score = self._run_train_epoch(trainset, epoch)
             valid_loss, valid_score = self._run_eval_epoch(validset)
@@ -303,7 +323,7 @@ class Trainer:
                 if improved:
                     best_valid_score = valid_score
             if improved:
-                best_snapshot = (self.state.params, self.state.model_state)
+                best_snapshot = snapshot()
                 self.save_checkpoint()
                 print("Best validation metric achieved; parameters snapshotted")
                 epochs_no_improve = 0
@@ -314,10 +334,11 @@ class Trainer:
             new_lr = self.scheduler.step(metric)
             if curr_lr != new_lr:
                 # rollback to best params when the LR drops (basemodel.py:465-467;
-                # the reference restores model weights only, optimizer moments stay)
+                # the reference restores model weights only, optimizer moments stay).
+                # Install copies: the snapshot must survive future donations.
                 self.state = self.state._replace(
-                    params=best_snapshot[0],
-                    model_state=best_snapshot[1],
+                    params=jax.tree.map(jnp.copy, best_snapshot[0]),
+                    model_state=jax.tree.map(jnp.copy, best_snapshot[1]),
                     lr=jnp.asarray(new_lr, jnp.float32),
                 )
                 print(f"No improvement after {self.setting.lr_patience + 1} epochs: "
@@ -405,7 +426,7 @@ class Trainer:
         cross-model statistical comparison (basemodel.py:601-722)."""
         if self.state is None:
             self.init_state()
-        norm = bool(getattr(loader, "normalize", False)) or self.setting.data_norm
+        _, norm = self._resolve_flags(loader, train=False)
         step_fn = self._get_eval_step(norm)
         data_s, _ = self._shardings()
 
