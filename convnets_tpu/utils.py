@@ -1,0 +1,81 @@
+"""Utility surface — the UtilityMngr equivalents
+(reference mngrutility.py:13-114).
+
+split():                  chunk an array into fixed-size parts (the test-time
+                          statistical subsampling helper, mngrutility.py:13-24 —
+                          without the reference's over-iteration quirk).
+set_reproducible_mode():  seed every host-side RNG; on-device randomness is
+                          already deterministic via explicit PRNG keys
+                          (core/rng.py), so this only needs numpy/random.
+get_models_scores():      cross-model score loader for the comparison plots
+                          (mngrutility.py:61-114) — scans an output dir for
+                          each architecture's best/tuned checkpoint instead of
+                          hard-coding file names.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+
+def split(array, part_size: int) -> List:
+    """Split into consecutive chunks of part_size (last may be shorter)."""
+    array = list(array)
+    part_size = max(int(part_size), 1)
+    return [array[i:i + part_size] for i in range(0, len(array), part_size)]
+
+
+def set_reproducible_mode(seed: int = 21, deterministic: bool = True) -> None:
+    """Pin host-side RNGs. JAX device RNG is functional (key-derived), so the
+    reference's cudnn-determinism knob has no TPU analogue to toggle: XLA:TPU
+    is deterministic for a fixed program + keys."""
+    random.seed(seed)
+    np.random.seed(seed)
+
+
+def get_models_scores(
+    output_dir: str = os.path.join("data", "output"),
+    archs: Optional[Sequence[str]] = None,
+    make_loader=None,
+) -> Dict[str, List[float]]:
+    """Evaluate each architecture's latest checkpoint on its test set.
+
+    make_loader(setting) -> test DataLoader; defaults to DataMngr.load_test.
+    Returns {model_name: subset-accuracy samples} for PlotMngr.models().
+    """
+    from convnets_tpu.data.manager import DataMngr
+    from convnets_tpu.models import available_models, build_model
+    from convnets_tpu.settings import Settings
+    from convnets_tpu.train import checkpoint as ckpt
+    from convnets_tpu.train.engine import Trainer
+
+    scores: Dict[str, List[float]] = {}
+    for arch in (archs or available_models()):
+        # find any checkpoint for this arch (any kind/version)
+        found = None
+        if os.path.isdir(output_dir):
+            for fname in sorted(os.listdir(output_dir), reverse=True):
+                if fname.lower().startswith(arch.replace("_", "")) and fname.endswith(ckpt.EXT):
+                    found = os.path.join(output_dir, fname)
+                    break
+        if found is None:
+            continue
+        _, meta = ckpt.load_checkpoint(found)
+        sd = meta["settings"]
+        setting = Settings(kind=sd["kind"], input_size=sd["input_size"],
+                           num_classes=sd["num_classes"])
+        setting.load_values({k: v for k, v in sd.items()
+                             if k in setting.get_hparams_names()})
+        setting.output_dir = output_dir
+        model = build_model(arch, setting)
+        trainer = Trainer(model)
+        trainer.load_checkpoint(found)
+        loader = (make_loader(setting) if make_loader
+                  else DataMngr(setting).load_test())
+        subset_scores, _, _ = trainer.test(loader)
+        scores[model.model_name] = [float(s) for s in subset_scores]
+    return scores
