@@ -1,0 +1,39 @@
+"""Pallas TPU kernel library — the framework's native compute layer.
+
+Occupies the architectural slot cuDNN holds for the reference
+(SURVEY.md §2.2): fused conv(+BN)(+ReLU), depthwise conv, pooling. Each
+kernel has an envelope (supported strides/groups/shapes); `available()`
+and the envelope checks let callers fall back to the `lax`-backed ops
+(`convnets_tpu.ops`) which serve as the correctness oracle in tests.
+
+Enable on the hot path with Settings/env flag CONVNETS_TPU_PALLAS=1
+(kernels are opt-in while XLA's fused convs remain the default — on TPU
+XLA's own conv fusion is already near-optimal for the standard shapes,
+so the Pallas path is measured per-shape before being preferred).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+from convnets_tpu.ops.pallas.conv import conv2d_fused, depthwise_conv2d
+from convnets_tpu.ops.pallas.pool import avg_pool2d, max_pool2d
+
+__all__ = [
+    "conv2d_fused", "depthwise_conv2d", "max_pool2d", "avg_pool2d",
+    "available", "enabled",
+]
+
+
+def available() -> bool:
+    """True when running on a real TPU backend (Mosaic lowering)."""
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def enabled() -> bool:
+    return available() and os.environ.get("CONVNETS_TPU_PALLAS", "0") == "1"

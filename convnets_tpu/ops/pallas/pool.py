@@ -1,0 +1,90 @@
+"""Pallas pooling kernels (max / avg), NHWC, VPU-resident.
+
+Same batch-tile scheme as the conv kernels: each program holds its padded
+input tile in VMEM and reduces K·K shifted windows elementwise — for the
+32×32-class imagery this framework targets the whole reduction happens in
+one VMEM residency, vs reduce_window's generic lowering.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from convnets_tpu.core.shapes import to_pair
+from convnets_tpu.ops.pallas.conv import _pick_batch_tile
+
+
+def _pool_kernel(x_ref, out_ref, *, kh, kw, sh, sw, oh, ow, mode, inv_area):
+    xv = x_ref[:]
+    bt, c = xv.shape[0], xv.shape[3]
+
+    def window(i, j):
+        return lax.slice(
+            xv, (0, i, j, 0),
+            (bt, i + (oh - 1) * sh + 1, j + (ow - 1) * sw + 1, c),
+            (1, sh, sw, 1),
+        )
+
+    acc = window(0, 0).astype(jnp.float32) if mode == "avg" else window(0, 0)
+    for i in range(kh):
+        for j in range(kw):
+            if i == 0 and j == 0:
+                continue
+            win = window(i, j)
+            if mode == "max":
+                acc = jnp.maximum(acc, win)
+            else:
+                acc = acc + win.astype(jnp.float32)
+    if mode == "avg":
+        acc = (acc * inv_area).astype(out_ref.dtype)
+    out_ref[:] = acc.astype(out_ref.dtype)
+
+
+def _pool(x, kernel, stride, padding, mode, interpret):
+    n, ih, iw, c = x.shape
+    kh, kw = to_pair(kernel)
+    sh, sw = to_pair(stride if stride is not None else kernel)
+    ph, pw = to_pair(padding)
+    oh = (ih + 2 * ph - kh) // sh + 1
+    ow = (iw + 2 * pw - kw) // sw + 1
+
+    if ph or pw:
+        pad_val = x.dtype.type(-jnp.inf) if mode == "max" else x.dtype.type(0)
+        x = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)),
+                    constant_values=pad_val)
+    need_h = (oh - 1) * sh + kh
+    need_w = (ow - 1) * sw + kw
+    x = x[:, :need_h, :need_w, :]
+
+    bt = _pick_batch_tile(n, need_h, need_w, c, c, oh, ow, x.dtype.itemsize)
+    body = functools.partial(_pool_kernel, kh=kh, kw=kw, sh=sh, sw=sw,
+                             oh=oh, ow=ow, mode=mode,
+                             inv_area=1.0 / (kh * kw))
+    return pl.pallas_call(
+        body,
+        grid=(n // bt,),
+        in_specs=[pl.BlockSpec((bt, need_h, need_w, c), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((bt, oh, ow, c), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, oh, ow, c), x.dtype),
+        interpret=interpret,
+    )(x)
+
+
+@functools.partial(jax.jit, static_argnames=("kernel", "stride", "padding", "interpret"))
+def max_pool2d(x, kernel, stride=None, padding=0, *, interpret=False):
+    """Max pool (torch MaxPool2d semantics; -inf padding)."""
+    return _pool(x, kernel, stride, padding, "max", interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("kernel", "stride", "padding", "interpret"))
+def avg_pool2d(x, kernel, stride=None, padding=0, *, interpret=False):
+    """Avg pool (torch AvgPool2d count_include_pad=True semantics)."""
+    return _pool(x, kernel, stride, padding, "avg", interpret)
