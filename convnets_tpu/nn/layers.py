@@ -67,12 +67,29 @@ class Conv2d(Module):
         )
 
     def apply(self, variables, x, *, train=False, rng=None):
+        from convnets_tpu.ops import pallas
+
         p = variables["params"]
         cd = self.policy.compute_dtype
         x = x.astype(cd)
         b = p.get("b")
+        w = p["w"].astype(cd)
+        if pallas.enabled():
+            # route through the Mosaic kernel library when the call fits an
+            # implemented envelope (dense or depthwise); fall through to the
+            # lax path otherwise
+            if pallas.fits_conv(self.stride, self.dilation, self.groups):
+                y = pallas.conv2d_train(x, w, self.stride, self.padding)
+                if b is not None:
+                    y = y + b.astype(y.dtype)
+                return y, {}
+            if pallas.fits_depthwise(x.shape[-1], self.dilation, self.groups):
+                y = pallas.depthwise_train(x, w, self.stride, self.padding)
+                if b is not None:
+                    y = y + b.astype(y.dtype)
+                return y, {}
         y = ops.conv2d(
-            x, p["w"].astype(cd), None if b is None else b.astype(cd),
+            x, w, None if b is None else b.astype(cd),
             stride=self.stride, padding=self.padding, dilation=self.dilation,
             groups=self.groups, accum_dtype=self.policy.accum_dtype,
         )
@@ -187,6 +204,12 @@ class MaxPool2d(Module):
         return shapes.pool2d_out_shape(in_shape, self.kernel, self.stride, self.padding)
 
     def apply(self, variables, x, *, train=False, rng=None):
+        from convnets_tpu.ops import pallas
+
+        if pallas.enabled() and not train:
+            # inference only: the Pallas pool has no VJP; training keeps the
+            # reduce_window path whose max-routing backward XLA provides
+            return pallas.max_pool2d(x, self.kernel, self.stride, self.padding), {}
         return ops.max_pool2d(x, self.kernel, self.stride, self.padding), {}
 
     def __repr__(self):
@@ -202,6 +225,10 @@ class AvgPool2d(Module):
         return shapes.pool2d_out_shape(in_shape, self.kernel, self.stride, self.padding)
 
     def apply(self, variables, x, *, train=False, rng=None):
+        from convnets_tpu.ops import pallas
+
+        if pallas.enabled() and not train:
+            return pallas.avg_pool2d(x, self.kernel, self.stride, self.padding), {}
         return ops.avg_pool2d(x, self.kernel, self.stride, self.padding), {}
 
     def __repr__(self):

@@ -18,12 +18,16 @@ import os
 
 import jax
 
-from convnets_tpu.ops.pallas.conv import conv2d_fused, depthwise_conv2d
+from convnets_tpu.core.shapes import to_pair
+from convnets_tpu.ops.pallas.conv import (
+    conv2d_fused, conv2d_train, depthwise_conv2d, depthwise_train,
+)
 from convnets_tpu.ops.pallas.pool import avg_pool2d, max_pool2d
 
 __all__ = [
-    "conv2d_fused", "depthwise_conv2d", "max_pool2d", "avg_pool2d",
-    "available", "enabled",
+    "conv2d_fused", "conv2d_train", "depthwise_conv2d", "depthwise_train",
+    "max_pool2d", "avg_pool2d", "available", "enabled", "fits_conv",
+    "fits_depthwise",
 ]
 
 
@@ -37,3 +41,16 @@ def available() -> bool:
 
 def enabled() -> bool:
     return available() and os.environ.get("CONVNETS_TPU_PALLAS", "0") == "1"
+
+
+def fits_conv(stride, dilation, groups: int) -> bool:
+    """Envelope of conv2d_fused/conv2d_train: dense, undilated, stride
+    (1,1) native or (2,2) via space-to-depth."""
+    sh, sw = to_pair(stride)
+    dh, dw = to_pair(dilation)
+    return groups == 1 and (dh, dw) == (1, 1) and (sh, sw) in ((1, 1), (2, 2))
+
+
+def fits_depthwise(cin: int, dilation, groups: int) -> bool:
+    dh, dw = to_pair(dilation)
+    return groups == cin and (dh, dw) == (1, 1)

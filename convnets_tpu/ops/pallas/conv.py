@@ -37,6 +37,61 @@ from jax.experimental.pallas import tpu as pltpu
 from convnets_tpu.core.shapes import to_pair
 
 
+def _strided_window(xv, i, j, oh, ow, sh, sw):
+    """Tap (i, j)'s strided window of xv=(BT, IHp, IWp, C) → (BT, OH, OW, C).
+
+    Mosaic rejects vector strided slices with stride > 1, so striding is
+    expressed as split-reshape + unit-stride slice: rows i..i+OH·sh reshape
+    to (OH, sh) and take phase 0 — only unit strides ever reach the lowering.
+    (Used by the depthwise/pool kernels; the dense conv handles stride 2 by
+    space-to-depth at the host level instead, see _space_to_depth.)
+    """
+    bt, _, _, c = xv.shape
+    win = lax.slice(xv, (0, i, j, 0), (bt, i + oh * sh, j + ow * sw, c))
+    if sh == 1 and sw == 1:
+        return win
+    win = win.reshape(bt, oh, sh, ow, sw, c)
+    return lax.slice(
+        win, (0, 0, 0, 0, 0, 0), (bt, oh, 1, ow, 1, c)
+    ).reshape(bt, oh, ow, c)
+
+
+def _space_to_depth_2x2(x):
+    """(N, H, W, C) → (N, H/2, W/2, 4C), plane-major channel order
+    ((p·2+q)·C + c for source offset (p, q))."""
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, h // 2, w // 2, 4 * c)
+
+
+def _stride2_as_stride1(x, w, ph, pw, oh, ow):
+    """Rewrite a (2, 2)-strided conv as a stride-1 conv over the 2×2
+    space-to-depth transform — the TPU-native stride decomposition: every
+    kernel window access becomes unit-stride, and the MXU contraction
+    widens from Cin to 4·Cin.
+
+    Returns (x_s2d, w_s2d) with w_s2d[a, b, (p·2+q)·C + c, o] =
+    w[2a+p, 2b+q, c, o] (zero-padded where 2a+p/2b+q fall outside k).
+    """
+    n, ih, iw, cin = x.shape
+    kh, kw, _, cout = w.shape
+    kh2, kw2 = (kh + 1) // 2, (kw + 1) // 2
+
+    # pad so every tap's s2d read is in bounds: rows 0..2·(oh+kh2-1)
+    need_h, need_w = 2 * (oh + kh2 - 1), 2 * (ow + kw2 - 1)
+    x = jnp.pad(x, ((0, 0), (ph, max(need_h - ih - ph, 0)),
+                    (pw, max(need_w - iw - pw, 0)), (0, 0)))
+    x = x[:, :need_h, :need_w, :]
+    xs = _space_to_depth_2x2(x)
+
+    w2 = jnp.zeros((kh2, kw2, 4, cin, cout), w.dtype)
+    for i in range(kh):
+        for j in range(kw):
+            w2 = w2.at[i // 2, j // 2, (i % 2) * 2 + (j % 2)].set(w[i, j])
+    return xs, w2.reshape(kh2, kw2, 4 * cin, cout)
+
+
 def _conv_kernel(x_ref, w_ref, scale_ref, shift_ref, out_ref, acc_ref,
                  *, kh, kw, sh, sw, oh, ow, relu, epilogue):
     """One batch-tile: accumulate K·K taps of implicit GEMM into fp32.
@@ -56,13 +111,7 @@ def _conv_kernel(x_ref, w_ref, scale_ref, shift_ref, out_ref, acc_ref,
     xv = x_ref[:]  # load once; taps below are register/VMEM slices
     for i in range(kh):
         for j in range(kw):
-            # gather the strided window for tap (i, j): rows i..i+OH·sh
-            win = lax.slice(
-                xv,
-                (0, i, j, 0),
-                (bt, i + (oh - 1) * sh + 1, j + (ow - 1) * sw + 1, cin),
-                (1, sh, sw, 1),
-            )
+            win = _strided_window(xv, i, j, oh, ow, sh, sw)
             patches = win.reshape(bt * oh * ow, cin)
             acc_ref[:] += jnp.dot(
                 patches, w_ref[i * kw + j],
@@ -78,15 +127,20 @@ def _conv_kernel(x_ref, w_ref, scale_ref, shift_ref, out_ref, acc_ref,
 
 
 def _pick_batch_tile(n: int, ihp: int, iwp: int, cin: int, cout: int,
-                     oh: int, ow: int, itemsize: int) -> int:
-    """Largest divisor of n whose VMEM working set stays under budget."""
-    budget = 8 * 1024 * 1024  # half of VMEM, leave room for pipelining
+                     oh: int, ow: int, itemsize: int, fudge: float = 2.0) -> int:
+    """Largest divisor of n whose VMEM working set stays under budget.
+
+    The base estimate is x tile + out + fp32 acc; Mosaic's stack also holds
+    per-tap window temporaries (more of them for the reshape-based strided
+    windowing), which `fudge` covers — factors measured against the 16 MB
+    scoped-vmem limit per kernel: conv ≈2, depthwise ≈4, pool ≈9."""
+    budget = 12 * 1024 * 1024
     for bt in range(min(n, 64), 0, -1):
         if n % bt:
             continue
         use = (bt * ihp * iwp * cin * itemsize          # x tile
                + bt * oh * ow * cout * (itemsize + 4))  # out + fp32 acc
-        if use <= budget:
+        if use * fudge <= budget:
             return bt
     return 1
 
@@ -119,23 +173,44 @@ def conv2d_fused(
     oh = (ih + 2 * ph - kh) // sh + 1
     ow = (iw + 2 * pw - kw) // sw + 1
 
-    if ph or pw:
-        x = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
-    ihp, iwp = x.shape[1], x.shape[2]
-    # clip to the exact extent the taps read, so the strided window
-    # slicing inside the kernel stays in bounds
-    need_h = (oh - 1) * sh + kh
-    need_w = (ow - 1) * sw + kw
-    x = x[:, :need_h, :need_w, :]
+    if (sh, sw) == (2, 2):
+        # stride 2 → space-to-depth + stride-1 over 4·Cin (see
+        # _stride2_as_stride1); recurse into the stride-1 path
+        xs, ws = _stride2_as_stride1(x, w, ph, pw, oh, ow)
+        return conv2d_fused(xs, ws, scale, shift, stride=1, padding=0,
+                            relu=relu, interpret=interpret)
+
+    # the extent the kernel windows read
+    need_h = oh * sh + kh - 1
+    need_w = ow * sw + kw - 1
     ihp, iwp = need_h, need_w
 
     epilogue = scale is not None or shift is not None
     ones = jnp.ones((1, cout), jnp.float32) if scale is None else scale.reshape(1, cout).astype(jnp.float32)
     zeros = jnp.zeros((1, cout), jnp.float32) if shift is None else shift.reshape(1, cout).astype(jnp.float32)
 
-    wt = w.reshape(kh * kw, cin, cout).astype(x.dtype)
+    bt = _pick_batch_tile(n, ihp, iwp, cin, cout, oh, ow, x.dtype.itemsize, fudge=2.0)
+    per_sample = (ihp * iwp * cin * x.dtype.itemsize
+                  + oh * ow * cout * (x.dtype.itemsize + 4))
+    if bt == 1 and per_sample * 2 > 12 * 1024 * 1024:
+        # a single sample overflows VMEM (large-spatial ImageNet-class
+        # shapes): XLA's conv is strongest exactly there, so fall back on
+        # the un-padded input — the epilogue still fuses via XLA's
+        # pointwise fusion
+        from convnets_tpu.ops.conv import conv2d as lax_conv2d
 
-    bt = _pick_batch_tile(n, ihp, iwp, cin, cout, oh, ow, x.dtype.itemsize)
+        y = lax_conv2d(x, w.astype(x.dtype), stride=(sh, sw), padding=(ph, pw))
+        yf = y.astype(jnp.float32)
+        if epilogue:
+            yf = yf * ones[0] + zeros[0]
+        if relu:
+            yf = jnp.maximum(yf, 0.0)
+        return yf.astype(x.dtype)
+
+    x = jnp.pad(x, ((0, 0), (ph, max(need_h - ih - ph, 0)),
+                    (pw, max(need_w - iw - pw, 0)), (0, 0)))
+    x = x[:, :need_h, :need_w, :]
+    wt = w.reshape(kh * kw, cin, cout).astype(x.dtype)
     grid = (n // bt,)
 
     kernel = functools.partial(
@@ -168,6 +243,57 @@ def conv2d_fused(
     )(x, wt, ones, zeros)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def conv2d_train(x, w, stride=1, padding=0, interpret=False):
+    """Trainable Pallas conv: forward through the implicit-GEMM kernel,
+    cotangents through XLA's transposed convolutions (dx: input-dilated
+    conv with flipped kernel; dw: x ⊛ g patch correlation — both already
+    MXU-optimal in XLA, so only the forward needs a hand-written kernel)."""
+    return conv2d_fused(x, w, stride=stride, padding=padding,
+                        interpret=interpret)
+
+
+def _conv2d_train_fwd(x, w, stride, padding, interpret):
+    return conv2d_train(x, w, stride, padding, interpret), (x, w)
+
+
+def _conv2d_train_bwd(stride, padding, interpret, res, g):
+    from convnets_tpu.ops.conv import conv2d as lax_conv2d
+
+    x, w = res
+    _, vjp = jax.vjp(
+        lambda x_, w_: lax_conv2d(x_, w_, stride=stride, padding=padding), x, w
+    )
+    return vjp(g.astype(x.dtype))
+
+
+conv2d_train.defvjp(_conv2d_train_fwd, _conv2d_train_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def depthwise_train(x, w, stride=1, padding=0, interpret=False):
+    """Trainable Pallas depthwise conv (cotangents via XLA, as conv2d_train)."""
+    return depthwise_conv2d(x, w, stride=stride, padding=padding,
+                            interpret=interpret)
+
+
+def _depthwise_train_fwd(x, w, stride, padding, interpret):
+    return depthwise_train(x, w, stride, padding, interpret), (x, w)
+
+
+def _depthwise_train_bwd(stride, padding, interpret, res, g):
+    from convnets_tpu.ops.conv import conv2d_depthwise as lax_dw
+
+    x, w = res
+    _, vjp = jax.vjp(
+        lambda x_, w_: lax_dw(x_, w_, stride=stride, padding=padding), x, w
+    )
+    return vjp(g.astype(x.dtype))
+
+
+depthwise_train.defvjp(_depthwise_train_fwd, _depthwise_train_bwd)
+
+
 def _dw_kernel(x_ref, w_ref, out_ref, *, kh, kw, sh, sw, oh, ow):
     """Depthwise conv batch-tile: pure VPU multiply-accumulate.
 
@@ -175,15 +301,9 @@ def _dw_kernel(x_ref, w_ref, out_ref, *, kh, kw, sh, sw, oh, ow):
     """
     acc = jnp.zeros(out_ref.shape, jnp.float32)
     xv = x_ref[:]
-    bt, c = xv.shape[0], xv.shape[3]
     for i in range(kh):
         for j in range(kw):
-            win = lax.slice(
-                xv,
-                (0, i, j, 0),
-                (bt, i + (oh - 1) * sh + 1, j + (ow - 1) * sw + 1, c),
-                (1, sh, sw, 1),
-            )
+            win = _strided_window(xv, i, j, oh, ow, sh, sw)
             acc = acc + win.astype(jnp.float32) * w_ref[i * kw + j, 0].astype(jnp.float32)
     out_ref[:] = acc.astype(out_ref.dtype)
 
@@ -211,14 +331,14 @@ def depthwise_conv2d(
     oh = (ih + 2 * ph - kh) // sh + 1
     ow = (iw + 2 * pw - kw) // sw + 1
 
-    if ph or pw:
-        x = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
-    need_h = (oh - 1) * sh + kh
-    need_w = (ow - 1) * sw + kw
+    need_h = oh * sh + kh - 1
+    need_w = ow * sw + kw - 1
+    x = jnp.pad(x, ((0, 0), (ph, max(need_h - ih - ph, 0)),
+                    (pw, max(need_w - iw - pw, 0)), (0, 0)))
     x = x[:, :need_h, :need_w, :]
 
     wt = w.reshape(kh * kw, 1, c).astype(x.dtype)
-    bt = _pick_batch_tile(n, need_h, need_w, c, c, oh, ow, x.dtype.itemsize)
+    bt = _pick_batch_tile(n, need_h, need_w, c, c, oh, ow, x.dtype.itemsize, fudge=4.0)
     kernel = functools.partial(_dw_kernel, kh=kh, kw=kw, sh=sh, sw=sw,
                                oh=oh, ow=ow)
     return pl.pallas_call(

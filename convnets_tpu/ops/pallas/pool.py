@@ -17,19 +17,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from convnets_tpu.core.shapes import to_pair
-from convnets_tpu.ops.pallas.conv import _pick_batch_tile
+from convnets_tpu.ops.pallas.conv import _pick_batch_tile, _strided_window
 
 
 def _pool_kernel(x_ref, out_ref, *, kh, kw, sh, sw, oh, ow, mode, inv_area):
     xv = x_ref[:]
-    bt, c = xv.shape[0], xv.shape[3]
 
     def window(i, j):
-        return lax.slice(
-            xv, (0, i, j, 0),
-            (bt, i + (oh - 1) * sh + 1, j + (ow - 1) * sw + 1, c),
-            (1, sh, sw, 1),
-        )
+        return _strided_window(xv, i, j, oh, ow, sh, sw)
 
     acc = window(0, 0).astype(jnp.float32) if mode == "avg" else window(0, 0)
     for i in range(kh):
@@ -54,15 +49,15 @@ def _pool(x, kernel, stride, padding, mode, interpret):
     oh = (ih + 2 * ph - kh) // sh + 1
     ow = (iw + 2 * pw - kw) // sw + 1
 
-    if ph or pw:
-        pad_val = x.dtype.type(-jnp.inf) if mode == "max" else x.dtype.type(0)
-        x = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)),
-                    constant_values=pad_val)
-    need_h = (oh - 1) * sh + kh
-    need_w = (ow - 1) * sw + kw
+    need_h = oh * sh + kh - 1
+    need_w = ow * sw + kw - 1
+    pad_val = x.dtype.type(-jnp.inf) if mode == "max" else x.dtype.type(0)
+    x = jnp.pad(x, ((0, 0), (ph, max(need_h - ih - ph, 0)),
+                    (pw, max(need_w - iw - pw, 0)), (0, 0)),
+                constant_values=pad_val)
     x = x[:, :need_h, :need_w, :]
 
-    bt = _pick_batch_tile(n, need_h, need_w, c, c, oh, ow, x.dtype.itemsize)
+    bt = _pick_batch_tile(n, need_h, need_w, c, c, oh, ow, x.dtype.itemsize, fudge=9.0)
     body = functools.partial(_pool_kernel, kh=kh, kw=kw, sh=sh, sw=sw,
                              oh=oh, ow=ow, mode=mode,
                              inv_area=1.0 / (kh * kw))

@@ -98,8 +98,8 @@ class Trainer:
             return None, None
         return data_sharding(self.mesh), replicated(self.mesh)
 
-    def _get_train_step(self, augment: bool, norm: bool):
-        key = (augment, norm)
+    def _get_train_step(self, augment: bool, norm: bool, debug: bool = False):
+        key = (augment, norm, debug)
         if key in self._train_step_fns:
             return self._train_step_fns[key]
 
@@ -152,14 +152,19 @@ class Trainer:
                 model_state=merge_state(state.model_state, state_updates),
                 opt_state=new_opt,
             )
+            if debug:
+                # debug-mode tracing (reference basemodel.py:124-126,
+                # :152-177): surface the gradient global norm per step
+                return new_state, loss, correct, optim.global_norm(grads)
             return new_state, loss, correct
 
         data_s, rep_s = self._shardings()
         if self.mesh is not None:
+            n_out = 4 if debug else 3
             fn = jax.jit(
                 train_step,
                 in_shardings=(rep_s, data_s, data_s, data_s, rep_s),
-                out_shardings=(rep_s, rep_s, rep_s),
+                out_shardings=(rep_s,) * n_out,
                 donate_argnums=(0,),
             )
         else:
@@ -213,7 +218,8 @@ class Trainer:
 
     def _run_train_epoch(self, loader: DataLoader, epoch_index: int):
         augment, norm = self._resolve_flags(loader, train=True)
-        step_fn = self._get_train_step(augment, norm)
+        debug = bool(self.setting.debug)
+        step_fn = self._get_train_step(augment, norm, debug)
         data_s, _ = self._shardings()
         base_key = key_for(self.setting.seed, "dropout", epoch_index)
 
@@ -223,7 +229,13 @@ class Trainer:
             device_prefetch(loader, size=2, sharding=data_s)
         ):
             rng = jax.random.fold_in(base_key, step)
-            self.state, loss, correct = step_fn(self.state, x, y, w, rng)
+            if debug:
+                self.state, loss, correct, gnorm = step_fn(self.state, x, y, w, rng)
+                print(f"[debug] step {step}: x{tuple(x.shape)}/{x.dtype} "
+                      f"loss={float(loss):.6f} correct={float(correct):.0f} "
+                      f"grad_norm={float(gnorm):.4e}")
+            else:
+                self.state, loss, correct = step_fn(self.state, x, y, w, rng)
             loss_sum += float(loss)
             correct_sum += float(correct)
             if self.setting.sanity_check:

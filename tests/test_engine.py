@@ -166,3 +166,13 @@ def test_dataloader_epoch_reshuffle_determinism():
     # second epoch differs from first
     e1b = [y for _, y, _ in l1]
     assert any(not np.array_equal(a, b) for a, b in zip(e1, e1b))
+
+
+def test_debug_mode_prints_grad_norm(tmp_path, capsys):
+    setting = make_setting(tmp_path, epochs=1, debug=True, sanity_check=True)
+    model = build_model("lenet", setting)
+    trainer = Trainer(model)
+    train, valid = make_loaders(n_train=16, n_valid=16)
+    trainer.fit(train, valid)
+    out = capsys.readouterr().out
+    assert "[debug] step 0:" in out and "grad_norm=" in out

@@ -82,3 +82,32 @@ def test_conv2d_fused_bf16():
     assert got.dtype == jnp.bfloat16
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(want, np.float32), rtol=0.1, atol=0.1)
+
+
+def test_layer_dispatch_interpret(monkeypatch):
+    """Conv2d/pool layers route through the Pallas kernels when enabled
+    (forced interpret mode on CPU) and still match the lax path."""
+    from jax.experimental.pallas import tpu as pltpu
+    from convnets_tpu.ops import pallas as P
+    from convnets_tpu import nn
+    from convnets_tpu.nn.module import Module  # noqa: F401
+
+    conv = nn.Conv2d(16, 3, stride=1, padding=1, bias=True)
+    pool = nn.MaxPool2d(2, stride=2)
+    x = rand(0, (4, 8, 8, 8))
+    v = conv.init(jax.random.key(0), x.shape)
+
+    y_lax, _ = conv.apply(v, x)
+    p_lax, _ = pool.apply(None, y_lax)
+
+    monkeypatch.setattr(P, "enabled", lambda: True)
+    with pltpu.force_tpu_interpret_mode():
+        y_pal, _ = conv.apply(v, x)
+        p_pal, _ = pool.apply(None, y_pal)
+        # gradient flows through the custom VJP
+        g = jax.grad(lambda w: jnp.sum(
+            conv.apply({"params": {"w": w, "b": v["params"]["b"]}, "state": {}}, x)[0] ** 2
+        ))(v["params"]["w"])
+    np.testing.assert_allclose(y_pal, y_lax, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(p_pal, p_lax, rtol=1e-5, atol=1e-5)
+    assert g.shape == v["params"]["w"].shape
