@@ -3,6 +3,8 @@ from convnets_tpu.data.datasets import (  # noqa: F401
     ArrayDataset,
     ImageFolderDataset,
     synthetic_dataset,
+    mnist,
+    cifar10,
     CINIC_MEAN,
     CINIC_STD,
 )

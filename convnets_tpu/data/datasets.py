@@ -130,6 +130,58 @@ class ImageFolderDataset(Dataset):
         return self.labels
 
 
+def mnist(root: str, split: str = "train") -> ArrayDataset:
+    """Load MNIST from the standard IDX files (BASELINE config #1:
+    LeNet-5 on MNIST). Expects <root>/{train,t10k}-images-idx3-ubyte(.gz)
+    and the matching labels file (no downloading — zero-egress env)."""
+    import gzip
+    import struct
+
+    prefix = "train" if split == "train" else "t10k"
+
+    def read(name):
+        for path in (os.path.join(root, name), os.path.join(root, name + ".gz")):
+            if os.path.exists(path):
+                opener = gzip.open if path.endswith(".gz") else open
+                with opener(path, "rb") as f:
+                    return f.read()
+        raise FileNotFoundError(f"{name}(.gz) not under {root}")
+
+    raw = read(f"{prefix}-images-idx3-ubyte")
+    magic, n, rows, cols = struct.unpack(">IIII", raw[:16])
+    assert magic == 2051, f"bad IDX image magic {magic}"
+    images = np.frombuffer(raw, np.uint8, offset=16).reshape(n, rows, cols, 1)
+
+    raw = read(f"{prefix}-labels-idx1-ubyte")
+    magic, n2 = struct.unpack(">II", raw[:8])
+    assert magic == 2049 and n2 == n
+    labels = np.frombuffer(raw, np.uint8, offset=8).astype(np.int32)
+    return ArrayDataset(images, labels, class_names=[str(i) for i in range(10)])
+
+
+def cifar10(root: str, split: str = "train") -> ArrayDataset:
+    """Load CIFAR-10 from the python-pickle batches
+    (cifar-10-batches-py layout; BASELINE config #2)."""
+    import pickle
+
+    base = os.path.join(root, "cifar-10-batches-py")
+    if not os.path.isdir(base):
+        base = root
+    names = ([f"data_batch_{i}" for i in range(1, 6)]
+             if split == "train" else ["test_batch"])
+    xs, ys = [], []
+    for name in names:
+        with open(os.path.join(base, name), "rb") as f:
+            d = pickle.load(f, encoding="bytes")
+        xs.append(np.asarray(d[b"data"], np.uint8))
+        ys.extend(d[b"labels"])
+    x = np.concatenate(xs).reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+    classes = ["airplane", "automobile", "bird", "cat", "deer",
+               "dog", "frog", "horse", "ship", "truck"]
+    return ArrayDataset(np.ascontiguousarray(x), np.asarray(ys, np.int32),
+                        class_names=classes)
+
+
 def synthetic_dataset(n: int, image_shape=(32, 32, 3), num_classes=10, seed=0,
                       learnable=True) -> ArrayDataset:
     """Random images with a learnable class signal (per-class mean shift) so

@@ -2,6 +2,7 @@ from convnets_tpu.models.base import Model, Builder, build_model, available_mode
 from convnets_tpu.models.blocks import SEUnit, SKConv  # noqa: F401
 
 # Import model files for registration side effects.
+from convnets_tpu.models import alexnet  # noqa: F401
 from convnets_tpu.models import convnet  # noqa: F401
 from convnets_tpu.models import vggnet  # noqa: F401
 from convnets_tpu.models import inceptionnet_v1  # noqa: F401

@@ -14,20 +14,88 @@ across the data-parallel mesh for free.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
 
+def _apply_norm(x, mean, inv, scale, bias):
+    """y = (x - mean)·inv·scale + bias with dtype-aware arithmetic.
+
+    fp32 inputs use the subtract-first form (torch's rounding).
+    bf16 inputs fold the per-channel constants in fp32 and do ONE bf16
+    multiply-add on the activation — the elementwise pass (and its
+    backward) stays at bf16 HBM bandwidth instead of materializing fp32
+    intermediates between conv fusions.
+    """
+    w = inv if scale is None else scale.astype(jnp.float32) * inv
+    if x.dtype == jnp.float32:
+        out = (x - mean) * w
+        if bias is not None:
+            out = out + bias.astype(jnp.float32)
+        return out
+    shift = -mean * w
+    if bias is not None:
+        shift = shift + bias.astype(jnp.float32)
+    return x * w.astype(x.dtype) + shift.astype(x.dtype)
+
+
 def batch_norm_inference(x, running_mean, running_var, scale, bias, *, eps=1e-5):
     """Normalize with running statistics (eval mode)."""
-    dtype = x.dtype
-    xf = x.astype(jnp.float32)
     inv = jax.lax.rsqrt(running_var.astype(jnp.float32) + eps)
-    w = inv if scale is None else scale.astype(jnp.float32) * inv
-    out = (xf - running_mean.astype(jnp.float32)) * w
-    if bias is not None:
-        out = out + bias.astype(jnp.float32)
-    return out.astype(dtype)
+    return _apply_norm(x, running_mean.astype(jnp.float32), inv, scale, bias).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _bn_core(x, scale, bias, eps):
+    """(y, mean, var) with batch statistics. Hand-written VJP: XLA's
+    autodiff of the fp32-stats forward drags full-size fp32 intermediates
+    through the backward; the textbook BN gradient
+        dx = γ·inv · (dy − mean(dy) − x̂·mean(dy·x̂))
+    needs only two per-channel fp32 reductions, all elementwise work
+    staying in the compute dtype."""
+    y, mean, var, _inv, _xhat = _bn_core_impl(x, scale, bias, eps)
+    return y, mean, var
+
+
+def _bn_core_impl(x, scale, bias, eps):
+    axes = tuple(range(x.ndim - 1))
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=axes)
+    var = jnp.maximum(jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean), 0.0)
+    inv = jax.lax.rsqrt(var + eps)
+    y = _apply_norm(x, mean, inv, scale, bias).astype(x.dtype)
+    return y, mean, var, inv, None
+
+
+def _bn_core_fwd(x, scale, bias, eps):
+    y, mean, var, inv, _ = _bn_core_impl(x, scale, bias, eps)
+    return (y, mean, var), (x, mean, inv, scale)
+
+
+def _bn_core_bwd(eps, res, cts):
+    x, mean, inv, scale = res
+    dy, _dmean, _dvar = cts  # running-stat outputs carry zero cotangent
+    axes = tuple(range(x.ndim - 1))
+    n = 1
+    for a in axes:
+        n *= x.shape[a]
+
+    cd = x.dtype
+    xhat = (x - mean.astype(cd)) * inv.astype(cd)          # recompute, bf16
+    dyf = dy.astype(jnp.float32)
+    sum_dy = jnp.sum(dyf, axis=axes)                       # fp32 reductions
+    sum_dy_xhat = jnp.sum(dyf * xhat.astype(jnp.float32), axis=axes)
+
+    g = scale.astype(jnp.float32) * inv
+    dx = (g.astype(cd) * (dy
+                          - (sum_dy / n).astype(cd)
+                          - xhat * (sum_dy_xhat / n).astype(cd))).astype(cd)
+    return dx, sum_dy_xhat.astype(scale.dtype), sum_dy.astype(scale.dtype)
+
+
+_bn_core.defvjp(_bn_core_fwd, _bn_core_bwd)
 
 
 def batch_norm_train(x, running_mean, running_var, scale, bias, *, eps=1e-5, momentum=0.1):
@@ -35,24 +103,20 @@ def batch_norm_train(x, running_mean, running_var, scale, bias, *, eps=1e-5, mom
 
     Reduction axes are (N, H, W) — per-channel stats.
     """
-    dtype = x.dtype
-    xf = x.astype(jnp.float32)
-    axes = tuple(range(xf.ndim - 1))
     n = 1
-    for a in axes:
-        n *= xf.shape[a]
-    mean = jnp.mean(xf, axis=axes)
-    var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean)  # biased
-    var = jnp.maximum(var, 0.0)
-
-    inv = jax.lax.rsqrt(var + eps)
-    w = inv if scale is None else scale.astype(jnp.float32) * inv
-    out = (xf - mean) * w
-    if bias is not None:
-        out = out + bias.astype(jnp.float32)
+    for a in range(x.ndim - 1):
+        n *= x.shape[a]
+    # the custom VJP assumes affine params exist (every reference BN is
+    # affine, basemodel.py:999-1015); substitute identity ones/zeros if not
+    c = x.shape[-1]
+    if scale is None:
+        scale = jnp.ones((c,), jnp.float32)
+    if bias is None:
+        bias = jnp.zeros((c,), jnp.float32)
+    out, mean, var = _bn_core(x, scale, bias, eps)
 
     # torch stores the unbiased variance in running_var
     unbiased = var * (n / max(n - 1, 1))
     new_mean = (1.0 - momentum) * running_mean.astype(jnp.float32) + momentum * mean
     new_var = (1.0 - momentum) * running_var.astype(jnp.float32) + momentum * unbiased
-    return out.astype(dtype), new_mean, new_var
+    return out, new_mean, new_var

@@ -3,4 +3,5 @@ from convnets_tpu.parallel.mesh import (  # noqa: F401
     data_sharding,
     replicated,
     shard_batch,
+    init_distributed,
 )

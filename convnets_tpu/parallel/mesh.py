@@ -52,3 +52,20 @@ def shard_batch(mesh: Mesh, batch, axis_name: str = "data"):
     """Place host arrays as global arrays sharded on the batch axis."""
     s = data_sharding(mesh, axis_name)
     return tuple(jax.device_put(b, s) for b in batch)
+
+
+def init_distributed(coordinator: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> tuple:
+    """Multi-host runtime bring-up (DCN): call once per host before any
+    jax use, then make_mesh() sees every chip in the slice. Single-host
+    (including this repo's 1-chip dev loop) needs no call. Returns
+    (process_index, process_count, local_device_count) for wiring the
+    per-host DataLoader shard (loader.host_id/num_hosts)."""
+    if coordinator is not None:
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    return jax.process_index(), jax.process_count(), jax.local_device_count()

@@ -394,6 +394,27 @@ class Trainer:
         print(f"Train Loss: {train_loss:.6f}  Valid Loss: {valid_loss:.6f}")
         print(f"Train Acc:  {train_score * 100:.3f}%  Valid Acc: {valid_score * 100:.3f}%")
         print(f"LR: {lr}")
+        self._log_metrics({
+            "epoch": already + epoch, "train_loss": train_loss,
+            "valid_loss": valid_loss, "train_score": train_score,
+            "valid_score": valid_score, "learning_rate": lr,
+        })
+
+    def _log_metrics(self, record: dict):
+        """Structured per-epoch metrics (jsonl) alongside the checkpoints —
+        the machine-readable twin of the epoch_results dict (SURVEY.md §5.5)."""
+        import json
+        import os
+
+        try:
+            os.makedirs(self.setting.output_dir, exist_ok=True)
+            path = os.path.join(self.setting.output_dir,
+                                f"{self.model.model_name}-metrics.jsonl")
+            with open(path, "a") as f:
+                f.write(json.dumps({"model": self.model.model_name,
+                                    "version": self.model.version, **record}) + "\n")
+        except OSError:
+            pass  # metrics logging must never take down training
 
     # ------------------------------------------------------------------
     # evaluate / test (reference basemodel.py:498-722)
@@ -431,11 +452,16 @@ class Trainer:
                   f"throughput {fps:.1f} img/s")
         return total_s, per_image_mean, per_image_std, fps
 
-    def test(self, loader: DataLoader, num_warmup: int = 50):
+    def test(self, loader: DataLoader, num_warmup: int = 50,
+             profile_dir: Optional[str] = None):
         """Timed benchmark testing: warmup forwards on random input, then
-        per-batch timed eval with block_until_ready, classification report,
-        and the test_sample_size-subset accuracy sampling used for
-        cross-model statistical comparison (basemodel.py:601-722)."""
+        per-batch timed eval (D2H-fenced), classification report, and the
+        test_sample_size-subset accuracy sampling used for cross-model
+        statistical comparison (basemodel.py:601-722). profile_dir enables
+        a jax.profiler trace over the timed region (SURVEY.md §5.1)."""
+        if profile_dir is not None:
+            with jax.profiler.trace(profile_dir):
+                return self.test(loader, num_warmup=num_warmup)
         if self.state is None:
             self.init_state()
         _, norm = self._resolve_flags(loader, train=False)
@@ -458,13 +484,17 @@ class Trainer:
         all_preds, all_targets = [], []
         num_images = 0
         for x, y, w in device_prefetch(loader, size=2, sharding=data_s):
+            # the D2H readback of the predictions is the timing fence —
+            # unlike bare block_until_ready it is correct even behind a
+            # remote PJRT tunnel, and retrieving preds is part of the
+            # measured protocol anyway (reference basemodel.py:637-668)
             t0 = time.perf_counter()
             loss, correct, preds = step_fn(self.state, x, y, w)
-            jax.block_until_ready(preds)
+            preds_host = np.asarray(preds)
             times.append(time.perf_counter() - t0)
             k = int(np.sum(np.asarray(w) > 0))
             num_images += k
-            all_preds.append(np.asarray(preds)[:k])
+            all_preds.append(preds_host[:k])
             all_targets.append(np.asarray(y)[:k])
             if self.setting.sanity_check:
                 break

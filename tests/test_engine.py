@@ -176,3 +176,16 @@ def test_debug_mode_prints_grad_norm(tmp_path, capsys):
     trainer.fit(train, valid)
     out = capsys.readouterr().out
     assert "[debug] step 0:" in out and "grad_norm=" in out
+
+
+def test_metrics_jsonl_written(tmp_path):
+    import json, os
+    setting = make_setting(tmp_path, epochs=2, sanity_check=True)
+    model = build_model("lenet", setting)
+    trainer = Trainer(model)
+    train, valid = make_loaders(n_train=16, n_valid=16)
+    trainer.fit(train, valid)
+    path = os.path.join(str(tmp_path), f"{model.model_name}-metrics.jsonl")
+    lines = [json.loads(l) for l in open(path)]
+    assert len(lines) == 2
+    assert lines[0]["epoch"] == 1 and "valid_score" in lines[0]

@@ -11,6 +11,7 @@ import pytest
 import torch
 import torch.nn.functional as F
 
+import jax
 import jax.numpy as jnp
 
 from convnets_tpu import ops
@@ -207,3 +208,38 @@ def test_dropout_scaling_and_determinism():
     np.testing.assert_array_equal(np.asarray(y), np.asarray(y2))
     # eval mode = identity
     np.testing.assert_array_equal(np.asarray(ops.dropout(x, 0.5, key, train=False)), np.asarray(x))
+
+
+def test_batch_norm_train_custom_vjp_grads():
+    """BN backward (custom VJP) vs torch.nn.BatchNorm2d autograd, fp32."""
+    import torch
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(4, 6, 5, 8).astype(np.float32)  # NHWC
+    gamma = rng.rand(8).astype(np.float32) + 0.5
+    beta = rng.randn(8).astype(np.float32) * 0.1
+    g_out = rng.randn(4, 6, 5, 8).astype(np.float32)
+
+    def f(x_, gamma_, beta_):
+        y, _, _ = ops.batch_norm_train(
+            x_, jnp.zeros(8), jnp.ones(8), gamma_, beta_, eps=1e-5, momentum=0.1)
+        return jnp.sum(y * g_out)
+
+    dx, dgamma, dbeta = jax.grad(f, (0, 1, 2))(
+        jnp.asarray(x), jnp.asarray(gamma), jnp.asarray(beta))
+
+    tbn = torch.nn.BatchNorm2d(8, eps=1e-5, momentum=0.1)
+    with torch.no_grad():
+        tbn.weight.copy_(torch.from_numpy(gamma))
+        tbn.bias.copy_(torch.from_numpy(beta))
+    tx = torch.from_numpy(np.transpose(x, (0, 3, 1, 2))).requires_grad_(True)
+    ty = tbn(tx)
+    ty.backward(torch.from_numpy(np.transpose(g_out, (0, 3, 1, 2))))
+
+    np.testing.assert_allclose(
+        np.asarray(dx), np.transpose(tx.grad.numpy(), (0, 2, 3, 1)),
+        rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dgamma), tbn.weight.grad.numpy(),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dbeta), tbn.bias.grad.numpy(),
+                               rtol=1e-4, atol=1e-4)
