@@ -84,3 +84,20 @@ def test_plot_mngr_renders(tmp_path):
     })
     for p in [p1, p2, p3, p4, *p5]:
         assert os.path.exists(p) and os.path.getsize(p) > 0
+
+
+def test_reference_results_analysis(tmp_path):
+    from convnets_tpu.viz import PlotMngr, reference_table, merge_measurements
+
+    table = reference_table()
+    table = merge_measurements(table, "ResNet-26", {"Throughput": 2500.0})
+    table = merge_measurements(table, "ResNet-50-TPU",
+                               {"Complexity": 25_557_032, "Throughput": 2553.6,
+                                "Speed": 1 / 2553.6, "Training Time": 0.0,
+                                "Memory Usage": 0.0, "Accuracy": 0.0})
+    assert table["Throughput"][table["Configurations"].index("ResNet-26")] == 2500.0
+    plot = PlotMngr(str(tmp_path))
+    paths = plot.metrics_analysis(
+        {k: [v if v is not None else 0.0 for v in vs] for k, vs in table.items()})
+    import os
+    assert all(os.path.getsize(p) > 0 for p in paths)
