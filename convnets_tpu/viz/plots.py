@@ -84,6 +84,20 @@ class PlotMngr:
         ax.set_ylabel("True")
         return self._save(fig, name)
 
+    # -- dataset info (mngrdata.py:74-137) -------------------------------
+
+    def class_distribution(self, info: Dict, name: str = "class_distribution.png") -> str:
+        """Bar chart of examples per class from Dataset.info()."""
+        dist = info["class_distribution"]
+        labels, counts = list(dist), list(dist.values())
+        fig, ax = plt.subplots(figsize=(max(6, len(labels) * 0.8), 4))
+        ax.bar(range(len(labels)), counts)
+        ax.set_xticks(range(len(labels)), labels, rotation=45, ha="right")
+        ax.set_ylabel("examples")
+        ax.set_title(f"{info.get('num_examples', sum(counts))} examples, "
+                     f"{len(labels)} classes")
+        return self._save(fig, name)
+
     # -- tuning scatters (mngrplot.py:207-295) ---------------------------
 
     def hyperparameters(self, tuning_results: Dict, hparam_names: Sequence[str],

@@ -101,3 +101,13 @@ def test_reference_results_analysis(tmp_path):
         {k: [v if v is not None else 0.0 for v in vs] for k, vs in table.items()})
     import os
     assert all(os.path.getsize(p) > 0 for p in paths)
+
+
+def test_class_distribution_plot(tmp_path, image_root):
+    import os
+    from convnets_tpu.data import ImageFolderDataset
+    from convnets_tpu.viz import PlotMngr
+
+    ds = ImageFolderDataset(os.path.join(image_root, "train"))
+    p = PlotMngr(str(tmp_path)).class_distribution(ds.info())
+    assert os.path.getsize(p) > 0
