@@ -22,17 +22,26 @@ IMG_EXTENSIONS = (".png", ".jpg", ".jpeg", ".bmp", ".ppm", ".webp")
 # Channel statistics of the CINIC-10 train split (reference mngrdata.py:61-62)
 CINIC_MEAN = np.array([0.47889522, 0.47227842, 0.43047404], np.float32)
 CINIC_STD = np.array([0.24205776, 0.23828046, 0.25874835], np.float32)
+# Standard published channel statistics for the other bundled loaders
+MNIST_MEAN = np.array([0.1307], np.float32)
+MNIST_STD = np.array([0.3081], np.float32)
+CIFAR10_MEAN = np.array([0.4914, 0.4822, 0.4465], np.float32)
+CIFAR10_STD = np.array([0.2470, 0.2435, 0.2616], np.float32)
 
 
 class Dataset:
     """Protocol: __len__, class_names, image_shape, load(indices)->(x,y).
 
     load returns x as float32 NHWC scaled to [0,1] (pre-normalization,
-    matching torchvision ToTensor) and y as int32 labels.
+    matching torchvision ToTensor) and y as int32 labels. mean/std are the
+    per-channel normalization statistics the engine applies when
+    data_norm is on (default: CINIC-10's, the reference's only dataset).
     """
 
     class_names: List[str]
     image_shape: Tuple[int, int, int]
+    mean: np.ndarray = CINIC_MEAN
+    std: np.ndarray = CINIC_STD
 
     def __len__(self) -> int:
         raise NotImplementedError
@@ -156,7 +165,9 @@ def mnist(root: str, split: str = "train") -> ArrayDataset:
     magic, n2 = struct.unpack(">II", raw[:8])
     assert magic == 2049 and n2 == n
     labels = np.frombuffer(raw, np.uint8, offset=8).astype(np.int32)
-    return ArrayDataset(images, labels, class_names=[str(i) for i in range(10)])
+    ds = ArrayDataset(images, labels, class_names=[str(i) for i in range(10)])
+    ds.mean, ds.std = MNIST_MEAN, MNIST_STD
+    return ds
 
 
 def cifar10(root: str, split: str = "train") -> ArrayDataset:
@@ -178,8 +189,10 @@ def cifar10(root: str, split: str = "train") -> ArrayDataset:
     x = np.concatenate(xs).reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
     classes = ["airplane", "automobile", "bird", "cat", "deer",
                "dog", "frog", "horse", "ship", "truck"]
-    return ArrayDataset(np.ascontiguousarray(x), np.asarray(ys, np.int32),
-                        class_names=classes)
+    ds = ArrayDataset(np.ascontiguousarray(x), np.asarray(ys, np.int32),
+                      class_names=classes)
+    ds.mean, ds.std = CIFAR10_MEAN, CIFAR10_STD
+    return ds
 
 
 def synthetic_dataset(n: int, image_shape=(32, 32, 3), num_classes=10, seed=0,

@@ -83,7 +83,8 @@ class Conv2d(Module):
                 if b is not None:
                     y = y + b.astype(y.dtype)
                 return y, {}
-            if pallas.fits_depthwise(x.shape[-1], self.dilation, self.groups):
+            if pallas.fits_depthwise(x.shape[-1], self.out_channels,
+                                     self.dilation, self.groups):
                 y = pallas.depthwise_train(x, w, self.stride, self.padding)
                 if b is not None:
                     y = y + b.astype(y.dtype)

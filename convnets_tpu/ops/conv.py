@@ -9,8 +9,11 @@ Layout decisions (TPU-first):
   * activations NHWC — channels on the 128-lane minor dimension, the layout
     XLA:TPU tiles onto the MXU without transposes;
   * weights HWIO with I = in_channels // groups (feature_group_count);
-  * accumulation in float32 via ``preferred_element_type`` even when inputs
-    are bfloat16 (MXU accumulates in fp32 natively).
+  * dtype policy: fp32 inputs request fp32 accumulation explicitly
+    (preferred_element_type + Precision.HIGHEST for torch parity);
+    bf16 inputs (the hot path) run bf16-in/bf16-out — the MXU still
+    accumulates fp32 internally, and matching operand/output dtypes keeps
+    the conv transpose (backward) well-typed.
 
 Semantics are cross-correlation, matching torch.nn.Conv2d.
 """
@@ -43,7 +46,9 @@ def conv2d(
     w: (kh, kw, C // groups, O).
     b: (O,) or None.
     padding: int or (ph, pw) — symmetric, matching torch's Conv2d padding.
-    Returns (N, H', W', O) in x.dtype (fp32-accumulated).
+    accum_dtype: honored when it matches x.dtype (fp32 path); for bf16
+    inputs the op is bf16-in/bf16-out (see module docstring).
+    Returns (N, H', W', O) in x.dtype.
     """
     sh, sw = to_pair(stride)
     ph, pw = to_pair(padding)

@@ -40,7 +40,12 @@ def available() -> bool:
 
 
 def enabled() -> bool:
-    return available() and os.environ.get("CONVNETS_TPU_PALLAS", "0") == "1"
+    """Opt-in AND single-device only: pallas_call has no GSPMD partitioning
+    rule, so under a multi-chip sharded step it would force replication (or
+    fail to partition). Multi-chip Pallas needs shard_map integration —
+    future work; the lax path is used there."""
+    return (available() and jax.device_count() == 1
+            and os.environ.get("CONVNETS_TPU_PALLAS", "0") == "1")
 
 
 def fits_conv(stride, dilation, groups: int) -> bool:
@@ -51,6 +56,8 @@ def fits_conv(stride, dilation, groups: int) -> bool:
     return groups == 1 and (dh, dw) == (1, 1) and (sh, sw) in ((1, 1), (2, 2))
 
 
-def fits_depthwise(cin: int, dilation, groups: int) -> bool:
+def fits_depthwise(cin: int, cout: int, dilation, groups: int) -> bool:
+    """Envelope of depthwise_train: one filter per channel, multiplier 1
+    (cout == cin); multiplier > 1 falls back to the lax path."""
     dh, dw = to_pair(dilation)
-    return groups == cin and (dh, dw) == (1, 1)
+    return groups == cin and cout == cin and (dh, dw) == (1, 1)

@@ -18,9 +18,10 @@ Design (TPU-first, not a CUDA translation):
   XLA's transposed convolutions (already MXU-optimal); the Pallas win is
   the fused forward epilogue.
 
-Constraints: stride ∈ {1, 2}, dilation 1, groups 1 (grouped/depthwise
-have their own kernels), NHWC/HWIO. Out-of-envelope calls should be
-routed to ops.conv2d by the caller (see ops/pallas/__init__.py:dispatch).
+Constraints: stride (1,1) or (2,2), dilation 1, groups 1 (depthwise has
+its own kernel), NHWC/HWIO. Callers gate on the envelope predicates
+fits_conv / fits_depthwise (ops/pallas/__init__.py) and fall back to
+ops.conv2d otherwise — see nn/layers.py Conv2d.apply for the dispatch.
 """
 
 from __future__ import annotations
@@ -35,6 +36,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from convnets_tpu.core.shapes import to_pair
+
+
+def _pad_to_extent(x, ph, pw, need_h, need_w, value=0):
+    """Symmetric-pad x (NHWC) by (ph, pw), extend to exactly
+    (need_h, need_w) rows/cols (kernel-window read extent incl. any
+    reshape slack), and clip any excess."""
+    n, ih, iw, c = x.shape
+    x = jnp.pad(x, ((0, 0), (ph, max(need_h - ih - ph, 0)),
+                    (pw, max(need_w - iw - pw, 0)), (0, 0)),
+                constant_values=value)
+    return x[:, :need_h, :need_w, :]
 
 
 def _strided_window(xv, i, j, oh, ow, sh, sw):
@@ -80,10 +92,7 @@ def _stride2_as_stride1(x, w, ph, pw, oh, ow):
 
     # pad so every tap's s2d read is in bounds: rows 0..2·(oh+kh2-1)
     need_h, need_w = 2 * (oh + kh2 - 1), 2 * (ow + kw2 - 1)
-    x = jnp.pad(x, ((0, 0), (ph, max(need_h - ih - ph, 0)),
-                    (pw, max(need_w - iw - pw, 0)), (0, 0)))
-    x = x[:, :need_h, :need_w, :]
-    xs = _space_to_depth_2x2(x)
+    xs = _space_to_depth_2x2(_pad_to_extent(x, ph, pw, need_h, need_w))
 
     w2 = jnp.zeros((kh2, kw2, 4, cin, cout), w.dtype)
     for i in range(kh):
@@ -207,9 +216,7 @@ def conv2d_fused(
             yf = jnp.maximum(yf, 0.0)
         return yf.astype(x.dtype)
 
-    x = jnp.pad(x, ((0, 0), (ph, max(need_h - ih - ph, 0)),
-                    (pw, max(need_w - iw - pw, 0)), (0, 0)))
-    x = x[:, :need_h, :need_w, :]
+    x = _pad_to_extent(x, ph, pw, need_h, need_w)
     wt = w.reshape(kh * kw, cin, cout).astype(x.dtype)
     grid = (n // bt,)
 
@@ -333,9 +340,7 @@ def depthwise_conv2d(
 
     need_h = oh * sh + kh - 1
     need_w = ow * sw + kw - 1
-    x = jnp.pad(x, ((0, 0), (ph, max(need_h - ih - ph, 0)),
-                    (pw, max(need_w - iw - pw, 0)), (0, 0)))
-    x = x[:, :need_h, :need_w, :]
+    x = _pad_to_extent(x, ph, pw, need_h, need_w)
 
     wt = w.reshape(kh * kw, 1, c).astype(x.dtype)
     bt = _pick_batch_tile(n, need_h, need_w, c, c, oh, ow, x.dtype.itemsize, fudge=4.0)

@@ -17,7 +17,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from convnets_tpu.core.shapes import to_pair
-from convnets_tpu.ops.pallas.conv import _pick_batch_tile, _strided_window
+from convnets_tpu.ops.pallas.conv import (
+    _pad_to_extent, _pick_batch_tile, _strided_window,
+)
 
 
 def _pool_kernel(x_ref, out_ref, *, kh, kw, sh, sw, oh, ow, mode, inv_area):
@@ -52,10 +54,7 @@ def _pool(x, kernel, stride, padding, mode, interpret):
     need_h = oh * sh + kh - 1
     need_w = ow * sw + kw - 1
     pad_val = x.dtype.type(-jnp.inf) if mode == "max" else x.dtype.type(0)
-    x = jnp.pad(x, ((0, 0), (ph, max(need_h - ih - ph, 0)),
-                    (pw, max(need_w - iw - pw, 0)), (0, 0)),
-                constant_values=pad_val)
-    x = x[:, :need_h, :need_w, :]
+    x = _pad_to_extent(x, ph, pw, need_h, need_w, value=pad_val)
 
     bt = _pick_batch_tile(n, need_h, need_w, c, c, oh, ow, x.dtype.itemsize, fudge=9.0)
     body = functools.partial(_pool_kernel, kh=kh, kw=kw, sh=sh, sw=sw,

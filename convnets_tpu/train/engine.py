@@ -98,10 +98,15 @@ class Trainer:
             return None, None
         return data_sharding(self.mesh), replicated(self.mesh)
 
-    def _get_train_step(self, augment: bool, norm: bool, debug: bool = False):
-        key = (augment, norm, debug)
+    def _get_train_step(self, augment: bool, norm: bool, debug: bool = False,
+                        stats=None):
+        key = (augment, norm, debug, stats)
         if key in self._train_step_fns:
             return self._train_step_fns[key]
+        norm_kw = {} if stats is None else {
+            "mean": jnp.asarray(stats[0], jnp.float32),
+            "std": jnp.asarray(stats[1], jnp.float32),
+        }
 
         setting = self.setting
         model = self.model
@@ -115,7 +120,7 @@ class Trainer:
             if augment:
                 x = augment_batch(aug_key, x)
             if norm:
-                x = normalize(x)
+                x = normalize(x, **norm_kw)
             x = x.astype(model.policy.compute_dtype)
 
             def loss_fn(params):
@@ -172,14 +177,19 @@ class Trainer:
         self._train_step_fns[key] = fn
         return fn
 
-    def _get_eval_step(self, norm: bool):
-        if norm in self._eval_step_fns:
-            return self._eval_step_fns[norm]
+    def _get_eval_step(self, norm: bool, stats=None):
+        key = (norm, stats)
+        if key in self._eval_step_fns:
+            return self._eval_step_fns[key]
         model = self.model
+        norm_kw = {} if stats is None else {
+            "mean": jnp.asarray(stats[0], jnp.float32),
+            "std": jnp.asarray(stats[1], jnp.float32),
+        }
 
         def eval_step(state: TrainState, x, y, w):
             if norm:
-                x = normalize(x)
+                x = normalize(x, **norm_kw)
             x = x.astype(model.policy.compute_dtype)
             logits, _ = model.module.apply(
                 {"params": state.params, "state": state.model_state}, x, train=False
@@ -199,7 +209,7 @@ class Trainer:
             )
         else:
             fn = jax.jit(eval_step)
-        self._eval_step_fns[norm] = fn
+        self._eval_step_fns[key] = fn
         return fn
 
     # ------------------------------------------------------------------
@@ -216,10 +226,23 @@ class Trainer:
             norm = self.setting.data_norm
         return bool(augment), bool(norm)
 
+    def _resolve_stats(self, loader):
+        """Per-channel normalization stats from the dataset (hashable, so
+        they key the jitted-step cache; MNIST/CIFAR/CINIC each carry their
+        own published constants, data/datasets.py)."""
+        ds = getattr(loader, "dataset", None)
+        mean = getattr(ds, "mean", None)
+        std = getattr(ds, "std", None)
+        if mean is None or std is None:
+            from convnets_tpu.data.datasets import CINIC_MEAN, CINIC_STD
+            mean, std = CINIC_MEAN, CINIC_STD
+        return tuple(float(v) for v in mean), tuple(float(v) for v in std)
+
     def _run_train_epoch(self, loader: DataLoader, epoch_index: int):
         augment, norm = self._resolve_flags(loader, train=True)
         debug = bool(self.setting.debug)
-        step_fn = self._get_train_step(augment, norm, debug)
+        step_fn = self._get_train_step(augment, norm, debug,
+                                       stats=self._resolve_stats(loader))
         data_s, _ = self._shardings()
         base_key = key_for(self.setting.seed, "dropout", epoch_index)
 
@@ -245,7 +268,7 @@ class Trainer:
 
     def _run_eval_epoch(self, loader: DataLoader, collect_preds: bool = False):
         _, norm = self._resolve_flags(loader, train=False)
-        step_fn = self._get_eval_step(norm)
+        step_fn = self._get_eval_step(norm, stats=self._resolve_stats(loader))
         data_s, _ = self._shardings()
 
         loss_sum = 0.0
@@ -465,7 +488,7 @@ class Trainer:
         if self.state is None:
             self.init_state()
         _, norm = self._resolve_flags(loader, train=False)
-        step_fn = self._get_eval_step(norm)
+        step_fn = self._get_eval_step(norm, stats=self._resolve_stats(loader))
         data_s, _ = self._shardings()
 
         bs = loader.batch_size
@@ -476,9 +499,11 @@ class Trainer:
             x_w = jax.device_put(x_w, data_s)
         y_w = jnp.zeros((bs,), jnp.int32)
         w_w = jnp.ones((bs,), jnp.float32)
+        out = None
         for _ in range(num_warmup):
             out = step_fn(self.state, x_w, y_w, w_w)
-        jax.block_until_ready(out)
+        if out is not None:
+            jax.block_until_ready(out)
 
         times = []
         all_preds, all_targets = [], []

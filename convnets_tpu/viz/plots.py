@@ -148,11 +148,21 @@ class PlotMngr:
         """table: {'Configurations': [...names], '<Metric>': [...values], ...}.
         Produces a Pearson-correlation heatmap and accuracy-vs-metric scatters."""
         names = table["Configurations"]
-        metrics = {k: np.asarray(v, np.float64) for k, v in table.items()
-                   if k != "Configurations"}
+        metrics = {k: np.asarray([np.nan if v is None else v for v in vs],
+                                 np.float64)
+                   for k, vs in table.items() if k != "Configurations"}
         keys = list(metrics)
         mat = np.vstack([metrics[k] for k in keys])
-        corr = np.corrcoef(mat)
+        # pairwise-complete Pearson correlations (None/NaN entries from
+        # partially-measured configs are excluded per pair, not poisoning
+        # whole rows)
+        m = len(keys)
+        corr = np.full((m, m), np.nan)
+        for i in range(m):
+            for j in range(m):
+                ok = np.isfinite(mat[i]) & np.isfinite(mat[j])
+                if ok.sum() >= 2 and mat[i][ok].std() > 0 and mat[j][ok].std() > 0:
+                    corr[i, j] = np.corrcoef(mat[i][ok], mat[j][ok])[0, 1]
 
         paths = []
         fig, ax = plt.subplots(figsize=(1.1 * len(keys) + 2,) * 2)
@@ -174,9 +184,11 @@ class PlotMngr:
                                      squeeze=False)
             for k, metric in enumerate(others):
                 ax = axes[k // cols][k % cols]
-                ax.scatter(metrics[metric], metrics["Accuracy"])
+                ok = np.isfinite(metrics[metric]) & np.isfinite(metrics["Accuracy"])
+                ax.scatter(metrics[metric][ok], metrics["Accuracy"][ok])
                 for x, y, label in zip(metrics[metric], metrics["Accuracy"], names):
-                    ax.annotate(label, (x, y), fontsize=7)
+                    if np.isfinite(x) and np.isfinite(y):
+                        ax.annotate(label, (x, y), fontsize=7)
                 ax.set_xlabel(metric)
                 ax.set_ylabel("Accuracy")
             for k in range(len(others), rows * cols):

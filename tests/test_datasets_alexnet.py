@@ -63,3 +63,31 @@ def test_alexnet_variants():
     v = model.init(batch_size=1)
     n = model.num_params(v)
     assert 23_000_000 < n < 26_000_000
+
+
+def test_mnist_trains_with_data_norm(tmp_path):
+    """Regression: data_norm=True with a 1-channel dataset must use the
+    dataset's own stats, not broadcast against CINIC's 3-channel ones."""
+    from convnets_tpu.data import DataLoader
+    from convnets_tpu.train import Trainer
+
+    rng = np.random.RandomState(0)
+    n = 16
+    images = rng.randint(0, 255, (n, 28, 28), dtype=np.uint8)
+    labels = rng.randint(0, 10, n).astype(np.uint8)
+    with open(tmp_path / "train-images-idx3-ubyte", "wb") as f:
+        f.write(struct.pack(">IIII", 2051, n, 28, 28) + images.tobytes())
+    with open(tmp_path / "train-labels-idx1-ubyte", "wb") as f:
+        f.write(struct.pack(">II", 2049, n) + labels.tobytes())
+
+    ds = mnist(str(tmp_path), "train")
+    assert ds.mean.shape == (1,)
+    loader = DataLoader(ds, 8)
+    setting = Settings(kind=0, input_size=(1, 28, 28), num_classes=10,
+                       batch_size=8, epochs=1, mixed_precision=False,
+                       data_augment=False, data_norm=True, dropout_rate=0.0,
+                       sanity_check=True, output_dir=str(tmp_path))
+    from convnets_tpu.models import build_model as bm
+    trainer = Trainer(bm("lenet", setting))
+    trainer.fit(loader, loader)  # would raise a channel mismatch before the fix
+    assert trainer.epoch_results["train_loss"]
