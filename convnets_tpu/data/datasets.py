@@ -88,6 +88,15 @@ class ArrayDataset(Dataset):
             x = x.astype(np.float32) / 255.0
         return x.astype(np.float32), self.labels[indices]
 
+    def load_raw(self, indices):
+        """Bytes-preserving load: uint8 images stay uint8 so host→device
+        transfer moves 4× fewer bytes; the jitted step converts to float
+        on device (engine dequantizes, BASELINE 'on-device preprocessing')."""
+        x = self.images[indices]
+        if x.dtype != np.uint8:
+            return self.load(indices)
+        return x, self.labels[indices]
+
     def all_labels(self):
         return self.labels
 
@@ -123,6 +132,10 @@ class ImageFolderDataset(Dataset):
         return len(self._paths)
 
     def load(self, indices):
+        x, y = self.load_raw(indices)
+        return x.astype(np.float32) / 255.0, y
+
+    def load_raw(self, indices):
         from PIL import Image
 
         imgs = []
@@ -132,8 +145,7 @@ class ImageFolderDataset(Dataset):
                 if self._size is not None and im.size != (self._size[1], self._size[0]):
                     im = im.resize((self._size[1], self._size[0]), Image.BILINEAR)
                 imgs.append(np.asarray(im, np.uint8))
-        x = np.stack(imgs).astype(np.float32) / 255.0
-        return x, self.labels[indices]
+        return np.stack(imgs), self.labels[indices]
 
     def all_labels(self):
         return self.labels

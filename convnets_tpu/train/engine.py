@@ -116,6 +116,10 @@ class Trainer:
         opt_name = self.optimizer_name
 
         def train_step(state: TrainState, x, y, w, rng):
+            if x.dtype == jnp.uint8:
+                # raw bytes arrive on device; dequantize here (fused by XLA
+                # into the augment/normalize chain)
+                x = x.astype(jnp.float32) / 255.0
             aug_key, drop_key = jax.random.split(rng)
             if augment:
                 x = augment_batch(aug_key, x)
@@ -188,6 +192,8 @@ class Trainer:
         }
 
         def eval_step(state: TrainState, x, y, w):
+            if x.dtype == jnp.uint8:
+                x = x.astype(jnp.float32) / 255.0
             if norm:
                 x = normalize(x, **norm_kw)
             x = x.astype(model.policy.compute_dtype)
@@ -494,7 +500,16 @@ class Trainer:
         bs = loader.batch_size
         shape = (bs, *self.model.input_shape_nhwc)
         warm_key = key_for(self.setting.seed, "bench")
-        x_w = jax.random.uniform(warm_key, shape, jnp.float32)
+        # warmup input must match the loader's transfer dtype (uint8 raw
+        # path vs float32) or the timed loop would hit a fresh compile
+        raw = getattr(loader.dataset, "load_raw", None)
+        feeds_uint8 = False
+        if raw is not None and len(loader.dataset):
+            feeds_uint8 = raw(np.array([0]))[0].dtype == np.uint8
+        if feeds_uint8:
+            x_w = jax.random.randint(warm_key, shape, 0, 256, jnp.int32).astype(jnp.uint8)
+        else:
+            x_w = jax.random.uniform(warm_key, shape, jnp.float32)
         if data_s is not None:
             x_w = jax.device_put(x_w, data_s)
         y_w = jnp.zeros((bs,), jnp.int32)
