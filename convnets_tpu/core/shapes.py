@@ -22,8 +22,18 @@ def to_pair(v) -> Tuple[int, int]:
 
 def conv_out_size(size: int, kernel: int, stride: int, padding: int, dilation: int = 1) -> int:
     """floor((H + 2p - d(k-1) - 1)/s) + 1 — the standard conv output formula
-    (matches reference basemodel.py:770-771)."""
-    return (size + 2 * padding - dilation * (kernel - 1) - 1) // stride + 1
+    (matches reference basemodel.py:770-771). Raises on non-positive output:
+    a spatial dim collapsing to zero (input too small for the architecture's
+    downsampling depth, e.g. DenseNet-121 below 32×32) would otherwise NaN
+    deep inside the first empty reduction."""
+    out = (size + 2 * padding - dilation * (kernel - 1) - 1) // stride + 1
+    if out < 1:
+        raise ValueError(
+            f"conv/pool output size {out} < 1 (input {size}, kernel {kernel}, "
+            f"stride {stride}, padding {padding}): input too small for this "
+            f"network's downsampling depth"
+        )
+    return out
 
 
 def conv2d_out_shape(

@@ -35,13 +35,19 @@ def _dense_layer(b: Builder, growth: int, bottleneck_factor: int) -> nn.Concat:
     return layer
 
 
-def _dense_block(b: Builder, size: int, growth: int) -> nn.Sequential:
+def _dense_block(b: Builder, size: int, growth: int):
     layers = []
     for _ in range(size):
         cin = b.in_channels
         layers.append(_dense_layer(b, growth, bottleneck_factor=4))
         b.in_channels = cin + growth
-    return nn.Sequential(layers)
+    block = nn.Sequential(layers)
+    if getattr(b.setting, "remat", False):
+        # dense blocks are the framework's worst activation-memory case
+        # (SURVEY.md §7 hard part 4: concat-heavy NHWC graphs) — remat
+        # them whole so only the block input survives to backward
+        block = nn.Remat(block)
+    return block
 
 
 def _transition(b: Builder) -> nn.Sequential:

@@ -344,6 +344,41 @@ class Sequential(Module):
         return f"Sequential[{len(self.layers)}]"
 
 
+class Remat(Module):
+    """Rematerialization wrapper: the child's forward activations are NOT
+    saved for backward — they are recomputed from the block input during
+    the backward pass (jax.checkpoint). Trades FLOPs for HBM: the standard
+    TPU lever for activation-memory pressure (SURVEY.md §7, DenseNet's
+    concat-heavy graphs; also useful to fit larger batches)."""
+
+    def __init__(self, child: Module):
+        super().__init__()
+        self.child = child
+
+    def children(self):
+        return {"child": self.child}
+
+    def init(self, key, in_shape):
+        return self.child.init(key, in_shape)
+
+    def out_shape(self, in_shape):
+        return self.child.out_shape(in_shape)
+
+    def apply(self, variables, x, *, train=False, rng=None):
+        if not train:
+            return self.child.apply(variables, x, train=False, rng=rng)
+
+        @jax.checkpoint
+        def run(params, state, x, rng):
+            return self.child.apply({"params": params, "state": state},
+                                    x, train=True, rng=rng)
+
+        return run(variables["params"], variables["state"], x, rng)
+
+    def __repr__(self):
+        return f"Remat({self.child!r})"
+
+
 class _MultiBranch(Module):
     """Shared machinery for branch combinators (Concat / Add)."""
 

@@ -165,11 +165,13 @@ class Settings(HyperParams):
     DEF_SEED = 21
 
     # TPU/SPMD environment defaults (replace the reference's DEF_DEVICE)
+    DEF_REMAT = False  # rematerialize blocks in backward (HBM vs FLOPs)
     DEF_MESH_SHAPE = None  # None → all visible devices on one 'data' axis
     DEF_DATA_AXIS = "data"
     DEF_OUTPUT_DIR = "data/output"
 
     ENV_FIELDS = (
+        "remat",
         "sanity_check",
         "debug",
         "num_workers",
@@ -214,6 +216,7 @@ class Settings(HyperParams):
         mesh_shape=None,
         data_axis=None,
         output_dir=None,
+        remat=None,
     ):
         super().__init__()
 
@@ -249,6 +252,7 @@ class Settings(HyperParams):
             mesh_shape=mesh_shape,
             data_axis=data_axis,
             output_dir=output_dir,
+            remat=remat,
         )
         # None → DEF_* default, via the same reflection scheme as the
         # reference (settings.py:294-299).

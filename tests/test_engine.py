@@ -189,3 +189,21 @@ def test_metrics_jsonl_written(tmp_path):
     lines = [json.loads(l) for l in open(path)]
     assert len(lines) == 2
     assert lines[0]["epoch"] == 1 and "valid_score" in lines[0]
+
+
+def test_remat_matches_non_remat(tmp_path):
+    """Remat changes memory, not math: same loss trajectory either way."""
+    import numpy as np
+    losses = {}
+    for remat in (False, True):
+        setting = make_setting(tmp_path, epochs=1, remat=remat)
+        model = build_model("resnet", Settings(
+            kind="18", input_size=(3, 16, 16), num_classes=4, batch_size=16,
+            epochs=1, mixed_precision=False, data_augment=False,
+            data_norm=False, dropout_rate=0.0, early_stop=False,
+            remat=remat, output_dir=str(tmp_path)))
+        trainer = Trainer(model)
+        train, valid = make_loaders(n_train=32, n_valid=16)
+        trainer.fit(train, valid)
+        losses[remat] = trainer.epoch_results["train_loss"][0]
+    np.testing.assert_allclose(losses[False], losses[True], rtol=1e-4)

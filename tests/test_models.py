@@ -44,7 +44,10 @@ FORWARD_CASES = [
     ("resnet", "18"),
     ("resnet", "26"),
     ("resnext", "26"),
-    ("squeezenet", "1.0"),
+    # squeezenet-1.0's 7x7/2 stem + three k3/s2 maxpools collapses 32x32
+    # inputs to zero spatial (torch raises there too; the reference only
+    # benchmarks v1.1 at 32x32) — cover 1.0 at a valid size instead
+    ("squeezenet", "1.0-64"),
     ("densenet", "121"),
     ("mobilenet_v1", "v1"),
     ("shufflenet_v1", "g3"),
@@ -58,9 +61,14 @@ FORWARD_CASES = [
 
 @pytest.mark.parametrize("arch,kind", FORWARD_CASES)
 def test_forward_shapes_and_state(arch, kind):
-    m = build_model(arch, make_setting(kind))
+    size = 32
+    if kind.endswith("-64"):
+        kind, size = kind[:-3], 64
+    setting = make_setting(kind)
+    setting.input_size = (3, size, size)
+    m = build_model(arch, setting)
     v = m.init(jax.random.key(0), batch_size=2)
-    x = jnp.ones((2, 32, 32, 3), jnp.float32)
+    x = jnp.ones((2, size, size, 3), jnp.float32)
 
     # analytic shape must match the traced shape
     assert m.out_shape(2) == (2, 10)
