@@ -20,7 +20,7 @@ def data_root(tmp_path_factory):
             d = root / split / cname
             d.mkdir(parents=True)
             for i in range(8):
-                arr = rng.randint(0, 255, (8, 8, 3), dtype=np.uint8)
+                arr = rng.randint(0, 255, (16, 16, 3), dtype=np.uint8)
                 Image.fromarray(arr).save(d / f"{i}.png")
     return str(root)
 
@@ -35,7 +35,7 @@ def test_cli_models_lists_zoo(capsys):
 def test_cli_fit_sanity_check(data_root, tmp_path):
     rc = main([
         "fit", "--arch", "lenet", "--kind", "0",
-        "--input-size", "3,8,8", "--num-classes", "2",
+        "--input-size", "3,16,16", "--num-classes", "2",
         "--data-root", data_root, "--batch-size", "8", "--epochs", "1",
         "--no-mixed-precision", "--sanity-check",
         "--output-dir", str(tmp_path),
@@ -49,14 +49,14 @@ def test_cli_fit_sanity_check(data_root, tmp_path):
 def test_cli_load_testing_mode(data_root, tmp_path):
     main([
         "fit", "--arch", "lenet", "--kind", "0",
-        "--input-size", "3,8,8", "--num-classes", "2",
+        "--input-size", "3,16,16", "--num-classes", "2",
         "--data-root", data_root, "--batch-size", "8", "--epochs", "1",
         "--no-mixed-precision", "--sanity-check",
         "--output-dir", str(tmp_path),
     ])
     rc = main([
         "load", "--arch", "lenet", "--kind", "0",
-        "--input-size", "3,8,8", "--num-classes", "2",
+        "--input-size", "3,16,16", "--num-classes", "2",
         "--data-root", data_root, "--batch-size", "8",
         "--no-mixed-precision", "--sanity-check", "--testing",
         "--output-dir", str(tmp_path),

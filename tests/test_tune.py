@@ -50,16 +50,16 @@ def test_tuner_process_keeps_best(tmp_path):
         init_params=[True],
     )
     setting = Settings(
-        kind=0, input_size=(3, 8, 8), num_classes=3, batch_size=16, epochs=1,
+        kind=0, input_size=(3, 16, 16), num_classes=3, batch_size=16, epochs=1,
         mixed_precision=False, data_augment=False, data_norm=False,
         dropout_rate=0.0, early_stop=False, distrib=distrib,
         output_dir=str(tmp_path),
     )
 
     def make_loaders(s):
-        train = DataLoader(synthetic_dataset(32, (8, 8, 3), 3, seed=0),
+        train = DataLoader(synthetic_dataset(32, (16, 16, 3), 3, seed=0),
                            s.batch_size, shuffle=True, seed=0)
-        valid = DataLoader(synthetic_dataset(16, (8, 8, 3), 3, seed=1),
+        valid = DataLoader(synthetic_dataset(16, (16, 16, 3), 3, seed=1),
                            s.batch_size)
         return train, valid
 
@@ -79,7 +79,7 @@ def test_tuner_process_keeps_best(tmp_path):
 
 
 def test_tuner_cv_not_implemented(tmp_path):
-    setting = Settings(kind=0, input_size=(3, 8, 8), num_classes=3,
+    setting = Settings(kind=0, input_size=(3, 16, 16), num_classes=3,
                        output_dir=str(tmp_path))
     tuner = Tuner("lenet", setting, lambda s: (None, None))
     with pytest.raises(NotImplementedError):
