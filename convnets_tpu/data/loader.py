@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import queue
 import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator, Optional, Tuple
 
 import numpy as np
@@ -25,13 +26,17 @@ from convnets_tpu.data.datasets import Dataset
 class DataLoader:
     def __init__(self, dataset: Dataset, batch_size: int, *, shuffle: bool = False,
                  seed: int = 0, drop_last: bool = False, num_prefetch: int = 2,
-                 host_id: int = 0, num_hosts: int = 1):
+                 num_workers: int = 0, host_id: int = 0, num_hosts: int = 1):
         self.dataset = dataset
         self.batch_size = int(batch_size)
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = drop_last
         self.num_prefetch = num_prefetch
+        # decode worker threads (reference feeds 16 worker processes,
+        # mngrdata.py:158-163; PIL/zlib decode releases the GIL so threads
+        # scale). 0/1 = decode inline in the producer thread.
+        self.num_workers = int(num_workers)
         self.host_id = host_id
         self.num_hosts = num_hosts
         self.epoch = 0
@@ -71,19 +76,36 @@ class DataLoader:
         num_batches = len(order) // bs if self.drop_last else -(-len(order) // bs)
         load = getattr(self.dataset, "load_raw", self.dataset.load)
 
+        def make_batch(bi: int):
+            idx = order[bi * bs : (bi + 1) * bs]
+            x, y = load(idx)
+            k = len(idx)
+            if k < bs:
+                pad = bs - k
+                x = np.concatenate([x, np.zeros((pad, *x.shape[1:]), x.dtype)])
+                y = np.concatenate([y, np.zeros((pad,), y.dtype)])
+            w = np.zeros((bs,), np.float32)
+            w[:k] = 1.0
+            return (x, y, w)
+
         def produce(out_q: queue.Queue):
             try:
-                for bi in range(num_batches):
-                    idx = order[bi * bs : (bi + 1) * bs]
-                    x, y = load(idx)
-                    k = len(idx)
-                    if k < bs:
-                        pad = bs - k
-                        x = np.concatenate([x, np.zeros((pad, *x.shape[1:]), x.dtype)])
-                        y = np.concatenate([y, np.zeros((pad,), y.dtype)])
-                    w = np.zeros((bs,), np.float32)
-                    w[:k] = 1.0
-                    out_q.put((x, y, w))
+                if self.num_workers > 1:
+                    # each worker thread decodes whole batches; a bounded
+                    # in-order future window keeps epoch order deterministic
+                    import collections
+
+                    with ThreadPoolExecutor(self.num_workers) as ex:
+                        window = collections.deque()
+                        bi = 0
+                        while bi < num_batches or window:
+                            while bi < num_batches and len(window) < self.num_workers:
+                                window.append(ex.submit(make_batch, bi))
+                                bi += 1
+                            out_q.put(window.popleft().result())
+                else:
+                    for bi in range(num_batches):
+                        out_q.put(make_batch(bi))
                 out_q.put(None)
             except BaseException as e:  # surface worker errors to the consumer
                 out_q.put(e)

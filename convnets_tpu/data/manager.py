@@ -36,7 +36,8 @@ class DataMngr:
     def load_train(self, host_id: int = 0, num_hosts: int = 1) -> DataLoader:
         loader = DataLoader(
             self._dataset("train"), self.batch_size, shuffle=True,
-            seed=self.setting.seed, host_id=host_id, num_hosts=num_hosts,
+            seed=self.setting.seed, num_workers=self.setting.num_workers,
+            host_id=host_id, num_hosts=num_hosts,
         )
         loader.augment = self.data_augment
         loader.normalize = self.data_norm
@@ -45,6 +46,7 @@ class DataMngr:
     def load_valid(self, host_id: int = 0, num_hosts: int = 1) -> DataLoader:
         loader = DataLoader(
             self._dataset("valid"), self.batch_size, shuffle=False,
+            num_workers=self.setting.num_workers,
             host_id=host_id, num_hosts=num_hosts,
         )
         loader.augment = False
@@ -56,7 +58,8 @@ class DataMngr:
         # statistical subsampling protocol (mngrdata.py:211)
         loader = DataLoader(
             self._dataset("test"), self.batch_size, shuffle=True,
-            seed=self.setting.seed, host_id=host_id, num_hosts=num_hosts,
+            seed=self.setting.seed, num_workers=self.setting.num_workers,
+            host_id=host_id, num_hosts=num_hosts,
         )
         loader.augment = False
         loader.normalize = self.data_norm

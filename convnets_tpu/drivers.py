@@ -54,7 +54,7 @@ def process_eval(trainer: Trainer, trainset, validset, testset,
 
 def process_fit(arch: str, setting: Settings,
                 data_root: Optional[str] = None,
-                optimizer: str = "adam") -> Trainer:
+                optimizer: Optional[str] = None) -> Trainer:
     """Train a fresh model end-to-end, then evaluate
     (reference template_net.py:96-156)."""
     data, trainset, validset = _loaders(setting, data_root)
@@ -69,7 +69,7 @@ def process_fit(arch: str, setting: Settings,
 
 def process_tune(arch: str, setting: Settings, num_iter: int,
                  data_root: Optional[str] = None,
-                 optimizer: str = "adam") -> Tuple[Trainer, dict]:
+                 optimizer: Optional[str] = None) -> Tuple[Trainer, dict]:
     """Random-search over setting.distrib, evaluate the winner
     (reference template_net.py:158-219)."""
     def make_loaders(s):
@@ -89,7 +89,7 @@ def process_tune(arch: str, setting: Settings, num_iter: int,
 def process_load(arch: str, setting: Settings, path: Optional[str] = None,
                  resume_training: bool = False, epochs: Optional[int] = None,
                  data_root: Optional[str] = None, testing: bool = False,
-                 optimizer: str = "adam"):
+                 optimizer: Optional[str] = None):
     """Load a checkpoint; optionally resume training; evaluate
     (reference template_net.py:221-261). With testing=True returns
     (model_name, subset_scores) for cross-model comparison

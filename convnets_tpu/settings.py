@@ -164,6 +164,25 @@ class Settings(HyperParams):
     DEF_TEST_SAMPLE_SIZE = 90
     DEF_SEED = 21
 
+    # Optimizer / LR-schedule selection. The reference hardwires
+    # Adam + ReduceLROnPlateau (basemodel.py:58-83); these fields expose the
+    # other standard recipes (SGD+momentum, step decay for the ImageNet
+    # baseline config, cosine for from-scratch runs) through the same engine.
+    DEF_OPTIMIZER = "adam"           # "adam" | "sgd"
+    DEF_MOMENTUM = 0.9               # SGD momentum
+    DEF_NESTEROV = False
+    DEF_LR_SCHEDULER = "plateau"     # "plateau" | "step" | "cosine" | "none"
+    DEF_LR_STEP_SIZE = 30            # StepDecay period (epochs)
+    DEF_LR_MIN = 0.0                 # cosine floor
+    DEF_LR_WARMUP_EPOCHS = 0         # cosine linear warmup
+    DEF_AUGMENT_AFFINE = True        # False → crop+flip-only augmentation
+    # Gradient loss reduction. "sum" is the reference objective
+    # (CrossEntropyLoss(reduction='sum'), basemodel.py:46) — correct for
+    # Adam, which is invariant to loss scale. "mean" divides the gradient
+    # by the per-batch example count, which standard SGD lr/wd recipes
+    # assume. Reported losses are sum-over-batch ÷ dataset either way.
+    DEF_LOSS_REDUCTION = "sum"       # "sum" | "mean"
+
     # TPU/SPMD environment defaults (replace the reference's DEF_DEVICE)
     DEF_REMAT = False  # rematerialize blocks in backward (HBM vs FLOPs)
     DEF_MESH_SHAPE = None  # None → all visible devices on one 'data' axis
@@ -181,6 +200,15 @@ class Settings(HyperParams):
         "mesh_shape",
         "data_axis",
         "output_dir",
+        "optimizer",
+        "momentum",
+        "nesterov",
+        "lr_scheduler",
+        "lr_step_size",
+        "lr_min",
+        "lr_warmup_epochs",
+        "augment_affine",
+        "loss_reduction",
     )
 
     def __init__(
@@ -217,6 +245,15 @@ class Settings(HyperParams):
         data_axis=None,
         output_dir=None,
         remat=None,
+        optimizer=None,
+        momentum=None,
+        nesterov=None,
+        lr_scheduler=None,
+        lr_step_size=None,
+        lr_min=None,
+        lr_warmup_epochs=None,
+        augment_affine=None,
+        loss_reduction=None,
     ):
         super().__init__()
 
@@ -253,6 +290,15 @@ class Settings(HyperParams):
             data_axis=data_axis,
             output_dir=output_dir,
             remat=remat,
+            optimizer=optimizer,
+            momentum=momentum,
+            nesterov=nesterov,
+            lr_scheduler=lr_scheduler,
+            lr_step_size=lr_step_size,
+            lr_min=lr_min,
+            lr_warmup_epochs=lr_warmup_epochs,
+            augment_affine=augment_affine,
+            loss_reduction=loss_reduction,
         )
         # None → DEF_* default, via the same reflection scheme as the
         # reference (settings.py:294-299).

@@ -49,11 +49,11 @@ def _fresh_epoch_results() -> dict:
 class Trainer:
     """fit / evaluate / test / checkpoint for one Model."""
 
-    def __init__(self, model: Model, optimizer: str = "adam",
+    def __init__(self, model: Model, optimizer: Optional[str] = None,
                  mesh=None, use_mesh: bool = True):
         self.model = model
         self.setting = model.setting
-        self.optimizer_name = optimizer
+        self.optimizer_name = optimizer or getattr(self.setting, "optimizer", "adam")
         self.mesh = mesh if mesh is not None else (make_mesh() if use_mesh else None)
         self.state: Optional[TrainState] = None
         self.scheduler: Optional[ReduceLROnPlateau] = None
@@ -83,12 +83,34 @@ class Trainer:
         return self.state
 
     def init_optimizer(self):
-        """Fresh scheduler (reference init_optimizer, basemodel.py:58-83)."""
-        mode = "min" if self.setting.loss_optim else "max"
-        self.scheduler = ReduceLROnPlateau(
-            lr=self.setting.learning_rate, mode=mode,
-            factor=self.setting.lr_factor, patience=self.setting.lr_patience,
-        )
+        """Fresh scheduler per Settings.lr_scheduler (reference
+        init_optimizer, basemodel.py:58-83, hardwires plateau; step/cosine
+        cover the ImageNet step-decay and from-scratch cosine recipes)."""
+        from convnets_tpu.train.scheduler import ConstantLR, CosineDecay, StepDecay
+
+        kind = getattr(self.setting, "lr_scheduler", "plateau")
+        lr = self.setting.learning_rate
+        if kind == "plateau":
+            mode = "min" if self.setting.loss_optim else "max"
+            self.scheduler = ReduceLROnPlateau(
+                lr=lr, mode=mode,
+                factor=self.setting.lr_factor, patience=self.setting.lr_patience,
+            )
+        elif kind == "step":
+            self.scheduler = StepDecay(
+                lr=lr, step_size=int(self.setting.lr_step_size),
+                gamma=float(self.setting.lr_factor),
+            )
+        elif kind == "cosine":
+            self.scheduler = CosineDecay(
+                lr=lr, total_epochs=int(self.setting.epochs),
+                min_lr=float(self.setting.lr_min),
+                warmup_epochs=int(self.setting.lr_warmup_epochs),
+            )
+        elif kind == "none":
+            self.scheduler = ConstantLR(lr)
+        else:
+            raise ValueError(f"unknown lr_scheduler {kind!r}")
 
     # ------------------------------------------------------------------
     # jitted steps
@@ -100,7 +122,9 @@ class Trainer:
 
     def _get_train_step(self, augment: bool, norm: bool, debug: bool = False,
                         stats=None):
-        key = (augment, norm, debug, stats)
+        do_affine = bool(getattr(self.setting, "augment_affine", True))
+        mean_grad = getattr(self.setting, "loss_reduction", "sum") == "mean"
+        key = (augment, norm, debug, stats, do_affine, mean_grad)
         if key in self._train_step_fns:
             return self._train_step_fns[key]
         norm_kw = {} if stats is None else {
@@ -122,7 +146,7 @@ class Trainer:
                 x = x.astype(jnp.float32) / 255.0
             aug_key, drop_key = jax.random.split(rng)
             if augment:
-                x = augment_batch(aug_key, x)
+                x = augment_batch(aug_key, x, do_affine=do_affine)
             if norm:
                 x = normalize(x, **norm_kw)
             x = x.astype(model.policy.compute_dtype)
@@ -133,13 +157,17 @@ class Trainer:
                     x, train=True, rng=drop_key,
                 )
                 logits = logits.astype(jnp.float32)
-                loss = ops.cross_entropy_sum(logits, y, w)
-                return loss * state.loss_scale, (logits, state_updates)
+                loss_sum = ops.cross_entropy_sum(logits, y, w)
+                # gradient objective: reference sum-CE, or per-example mean
+                # for standard SGD lr/wd recipes (Settings.loss_reduction)
+                objective = loss_sum
+                if mean_grad:
+                    objective = loss_sum / jnp.maximum(jnp.sum(w), 1.0)
+                return objective * state.loss_scale, (logits, state_updates, loss_sum)
 
-            (scaled_loss, (logits, state_updates)), grads = jax.value_and_grad(
+            (_, (logits, state_updates, loss)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(state.params)
-            loss = scaled_loss / state.loss_scale
             grads = jax.tree.map(lambda g: g / state.loss_scale, grads)
             if clip_norm is not None:
                 grads = optim.clip_by_global_norm(grads, clip_norm)
@@ -153,7 +181,9 @@ class Trainer:
             else:
                 new_params, new_opt = optim.sgd_update(
                     grads, state.opt_state, state.params, lr=state.lr,
-                    weight_decay=wd, momentum=0.9,
+                    weight_decay=wd,
+                    momentum=float(getattr(setting, "momentum", 0.9)),
+                    nesterov=bool(getattr(setting, "nesterov", False)),
                 )
             correct = ops.correct_count(logits, y, w)
             new_state = state._replace(
@@ -374,16 +404,22 @@ class Trainer:
             metric = valid_loss if self.setting.loss_optim else valid_score
             new_lr = self.scheduler.step(metric)
             if curr_lr != new_lr:
-                # rollback to best params when the LR drops (basemodel.py:465-467;
-                # the reference restores model weights only, optimizer moments stay).
-                # Install copies: the snapshot must survive future donations.
-                self.state = self.state._replace(
-                    params=jax.tree.map(jnp.copy, best_snapshot[0]),
-                    model_state=jax.tree.map(jnp.copy, best_snapshot[1]),
-                    lr=jnp.asarray(new_lr, jnp.float32),
-                )
-                print(f"No improvement after {self.setting.lr_patience + 1} epochs: "
-                      f"lr -> {new_lr:.2e}, continuing from best parameters")
+                if isinstance(self.scheduler, ReduceLROnPlateau):
+                    # rollback to best params when plateau drops the LR
+                    # (basemodel.py:465-467; the reference restores model
+                    # weights only, optimizer moments stay). Install copies:
+                    # the snapshot must survive future donations.
+                    self.state = self.state._replace(
+                        params=jax.tree.map(jnp.copy, best_snapshot[0]),
+                        model_state=jax.tree.map(jnp.copy, best_snapshot[1]),
+                        lr=jnp.asarray(new_lr, jnp.float32),
+                    )
+                    print(f"No improvement after {self.setting.lr_patience + 1} epochs: "
+                          f"lr -> {new_lr:.2e}, continuing from best parameters")
+                else:
+                    # schedule-driven LR change (step/cosine): no rollback
+                    self.state = self.state._replace(
+                        lr=jnp.asarray(new_lr, jnp.float32))
 
             if self.setting.early_stop and self.setting.es_patience + 1 == epochs_no_improve:
                 print(f"Early stopped after {epoch + 1} epochs "

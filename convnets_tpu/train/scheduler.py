@@ -116,5 +116,67 @@ class StepDecay:
         return sched
 
 
+class CosineDecay:
+    """Half-cosine decay from base_lr to min_lr over total_epochs, with an
+    optional linear warmup — the standard from-scratch CNN recipe
+    (torch CosineAnnealingLR semantics, stepped per epoch)."""
+
+    def __init__(self, lr: float, total_epochs: int, min_lr: float = 0.0,
+                 warmup_epochs: int = 0):
+        self.base_lr = float(lr)
+        self.total_epochs = int(total_epochs)
+        self.min_lr = float(min_lr)
+        self.warmup_epochs = int(warmup_epochs)
+        self.epoch = 0
+        self.lr = self._lr_at(0)
+
+    def _lr_at(self, e: int) -> float:
+        if self.warmup_epochs and e < self.warmup_epochs:
+            return self.base_lr * (e + 1) / self.warmup_epochs
+        span = max(self.total_epochs - self.warmup_epochs, 1)
+        t = min(max(e - self.warmup_epochs, 0), span)
+        return self.min_lr + 0.5 * (self.base_lr - self.min_lr) * (
+            1.0 + math.cos(math.pi * t / span))
+
+    def step(self, metric: float = 0.0) -> float:
+        del metric
+        self.epoch += 1
+        self.lr = self._lr_at(self.epoch)
+        return self.lr
+
+    def to_state(self) -> dict:
+        return {"kind": "cosine", "base_lr": self.base_lr, "lr": self.lr,
+                "total_epochs": self.total_epochs, "min_lr": self.min_lr,
+                "warmup_epochs": self.warmup_epochs, "epoch": self.epoch}
+
+    @classmethod
+    def from_state(cls, state: dict) -> "CosineDecay":
+        sched = cls(state["base_lr"], state["total_epochs"],
+                    state["min_lr"], state["warmup_epochs"])
+        sched.lr = state["lr"]
+        sched.epoch = state["epoch"]
+        return sched
+
+
+class ConstantLR:
+    """No schedule — lr stays fixed (lr_scheduler='none')."""
+
+    def __init__(self, lr: float):
+        self.lr = float(lr)
+
+    def step(self, metric: float = 0.0) -> float:
+        del metric
+        return self.lr
+
+    def to_state(self) -> dict:
+        return {"kind": "none", "lr": self.lr}
+
+    @classmethod
+    def from_state(cls, state: dict) -> "ConstantLR":
+        return cls(state["lr"])
+
+
 def scheduler_from_state(state: dict):
-    return {"plateau": ReduceLROnPlateau, "step": StepDecay}[state["kind"]].from_state(state)
+    kinds = {"plateau": ReduceLROnPlateau, "step": StepDecay,
+             "cosine": CosineDecay, "none": ConstantLR}
+    return kinds[state["kind"]].from_state(state)

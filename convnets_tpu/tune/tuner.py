@@ -25,13 +25,13 @@ DATA_FIELDS = ("batch_size", "data_augment", "data_norm")
 class Tuner:
     def __init__(self, arch: str, setting: Settings,
                  make_loaders: Callable[[Settings], tuple],
-                 optimizer: str = "adam"):
+                 optimizer: Optional[str] = None):
         """make_loaders(setting) -> (train_loader, valid_loader); called
         once up front and again per sample iff data hyper-params vary."""
         self.arch = arch
         self.setting = setting
         self.make_loaders = make_loaders
-        self.optimizer = optimizer
+        self.optimizer = optimizer or getattr(setting, "optimizer", "adam")
         self.version = int(time.time())
         self.best_score = -float("inf")
         self.best_path: Optional[str] = None
