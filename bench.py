@@ -65,9 +65,65 @@ def measure(batch: int, image: int, kind: str, warmup: int = 5, steps: int = 20)
     return batch * steps / dt
 
 
+def measure_pipeline(epochs: int = 1, batch: int = 256):
+    """Steady-state training throughput WITH the real input pipeline
+    attached (CINIC-10 ResNet-26): decode workers → uint8 device feed →
+    on-device augment+normalize → train step. Complements the synthetic
+    kernel bench above, which hides input-bound regimes (the reference
+    feeds 16 worker processes, mngrdata.py:158-163)."""
+    import time as _t
+
+    from convnets_tpu.data.manager import DataMngr
+    from convnets_tpu.models import build_model
+    from convnets_tpu.settings import Settings
+    from convnets_tpu.train.engine import Trainer
+
+    root = "/root/reference/data/CINIC-10"
+    setting = Settings(
+        kind="26", input_size=(3, 32, 32), num_classes=10, batch_size=batch,
+        epochs=epochs, mixed_precision=True, data_augment=True,
+        augment_affine=False, data_norm=True, optimizer="sgd",
+        lr_scheduler="none", learning_rate=0.05, early_stop=False,
+        output_dir="/tmp/bench_out",
+    )
+    data = DataMngr(setting, root=root)
+    trainset = data.load_train()
+    model = build_model("resnet", setting)
+    trainer = Trainer(model)
+    trainer.init_state()
+    step_fn = trainer._get_train_step(augment=True, norm=True,
+                                      stats=trainer._resolve_stats(trainset))
+
+    import numpy as np
+
+    from convnets_tpu.data.loader import device_prefetch
+
+    state, n_img, t0 = trainer.state, 0, None
+    key = jax.random.key(0)
+    for i, (x, y, w) in enumerate(device_prefetch(trainset, size=2)):
+        state, loss, correct = step_fn(state, x, y, w, jax.random.fold_in(key, i))
+        n_img += int(np.sum(np.asarray(w) > 0))
+        if i == 4:  # warmup/compile boundary: fence, then start the clock
+            _ = np.asarray(loss)
+            n_img, t0 = 0, _t.perf_counter()
+        if i >= 104:
+            break
+    _ = np.asarray(loss)
+    return n_img / (_t.perf_counter() - t0)
+
+
 def main():
     platform = jax.devices()[0].platform
     on_tpu = platform == "tpu"
+
+    if "--pipeline" in sys.argv:
+        value = measure_pipeline()
+        print(json.dumps({
+            "metric": "images_per_sec_pipeline_cinic_resnet26_train",
+            "value": round(value, 2), "unit": "img/s",
+            "vs_baseline": round(value / TARGET_IMG_PER_SEC, 4),
+        }))
+        return
     if on_tpu:
         configs = [(256, 224, "50"), (128, 224, "50"), (64, 224, "50")]
     else:  # CPU smoke fallback so the bench never hard-fails in dev

@@ -77,7 +77,14 @@ def augment_batch(key, x, *, degrees=15.0, shear_deg=15.0, scale_range=(0.75, 1.
     xs = a[:, None, None] * xo + b[:, None, None] * yo + cx + tx[:, None, None]
     ys = cc[:, None, None] * xo + d[:, None, None] * yo + cy + ty[:, None, None]
 
-    # bilinear sample with zero fill outside
+    return _bilinear_sample(x, xs, ys)
+
+
+def _bilinear_sample(x, xs, ys):
+    """Per-image bilinear gather: x (N,H,W,C), xs/ys (N,OH,OW) source
+    coordinates; zero fill outside the source extent."""
+    n, h, w, _ = x.shape
+    oh, ow = xs.shape[1], xs.shape[2]
     x0 = jnp.floor(xs)
     y0 = jnp.floor(ys)
     fx = xs - x0
@@ -87,8 +94,8 @@ def augment_batch(key, x, *, degrees=15.0, shear_deg=15.0, scale_range=(0.75, 1.
         inside = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
         yi_c = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
         xi_c = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
-        batch_idx = jax.lax.broadcasted_iota(jnp.int32, (n, h, w), 0)
-        vals = x[batch_idx, yi_c, xi_c]  # (N,H,W,C)
+        batch_idx = jax.lax.broadcasted_iota(jnp.int32, (n, oh, ow), 0)
+        vals = x[batch_idx, yi_c, xi_c]  # (N,OH,OW,C)
         return vals * inside[..., None].astype(x.dtype)
 
     v00 = gather(y0, x0)
@@ -100,3 +107,61 @@ def augment_batch(key, x, *, degrees=15.0, shear_deg=15.0, scale_range=(0.75, 1.
     top = v00 * (1 - fx) + v01 * fx
     bot = v10 * (1 - fx) + v11 * fx
     return top * (1 - fy) + bot * fy
+
+
+@partial(jax.jit, static_argnames=("out_hw", "scale_range", "ratio_range",
+                                   "hflip_p"))
+def random_resized_crop_batch(key, x, out_hw, *, scale_range=(0.08, 1.0),
+                              ratio_range=(3.0 / 4.0, 4.0 / 3.0),
+                              hflip_p=0.5):
+    """RandomResizedCrop + horizontal flip as ONE bilinear resample — the
+    224-class (ImageNet ResNet-50, BASELINE.json config #3) train transform.
+
+    torchvision samples crop boxes rejection-style (10 tries then center
+    fall-back); here the box is sampled in closed form — area fraction
+    uniform in scale_range, log-uniform aspect in ratio_range, both clamped
+    to fit the source — which keeps the whole transform inside the jitted
+    step with no per-image Python. x: (N,H,W,C) in [0,1] → (N,*out_hw,C).
+    """
+    n, h, w, _ = x.shape
+    oh, ow = out_hw
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    area = jax.random.uniform(k1, (n,), minval=scale_range[0],
+                              maxval=scale_range[1]) * (h * w)
+    log_r = jax.random.uniform(
+        k2, (n,), minval=math.log(ratio_range[0]),
+        maxval=math.log(ratio_range[1]))
+    ratio = jnp.exp(log_r)  # crop_w / crop_h
+    cw = jnp.minimum(jnp.sqrt(area * ratio), float(w))
+    ch = jnp.minimum(jnp.sqrt(area / ratio), float(h))
+    x_off = jax.random.uniform(k3, (n,)) * (w - cw)
+    y_off = jax.random.uniform(k4, (n,)) * (h - ch)
+    flip = jax.random.bernoulli(k5, hflip_p, (n,))
+
+    yy = jax.lax.broadcasted_iota(jnp.float32, (oh, ow), 0)[None]
+    xx = jax.lax.broadcasted_iota(jnp.float32, (oh, ow), 1)[None]
+    xx = jnp.where(flip[:, None, None], (ow - 1) - xx, xx)
+    # map output pixel centers onto the crop box (align-corners=False)
+    xs = (xx + 0.5) * (cw[:, None, None] / ow) + x_off[:, None, None] - 0.5
+    ys = (yy + 0.5) * (ch[:, None, None] / oh) + y_off[:, None, None] - 0.5
+    return _bilinear_sample(x, xs, ys)
+
+
+@partial(jax.jit, static_argnames=("out_hw", "enlarge"))
+def center_crop_resize(x, out_hw, *, enlarge=1.0 / 0.875):
+    """Eval-path resize(short side = out·enlarge) → center crop out_hw —
+    torchvision's Resize(256)+CenterCrop(224) for enlarge=256/224.
+    x: (N,H,W,C) → (N,*out_hw,C), one bilinear resample."""
+    n, h, w, _ = x.shape
+    oh, ow = out_hw
+    short = min(h, w)
+    scale = short / (min(oh, ow) * enlarge)  # source pixels per output pixel
+    ch, cw = oh * scale, ow * scale
+    y_off = (h - ch) / 2.0
+    x_off = (w - cw) / 2.0
+    yy = jax.lax.broadcasted_iota(jnp.float32, (oh, ow), 0)[None]
+    xx = jax.lax.broadcasted_iota(jnp.float32, (oh, ow), 1)[None]
+    xs = (xx + 0.5) * scale + x_off - 0.5
+    ys = (yy + 0.5) * scale + y_off - 0.5
+    return _bilinear_sample(x, jnp.broadcast_to(xs, (n, oh, ow)),
+                            jnp.broadcast_to(ys, (n, oh, ow)))

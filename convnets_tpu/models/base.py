@@ -107,18 +107,15 @@ class Builder:
 
     def conv_block(self, num_filters, activation=True, set_output=True, groups=1,
                    kernel=3, stride=1, padding=0, dilation=1) -> nn.Sequential:
-        layers = [
-            nn.Conv2d(num_filters, kernel, stride=stride, padding=padding,
-                      dilation=dilation, groups=groups, bias=not self.bn,
-                      init_mode=self.conv_init)
-        ]
-        if self.bn:
-            layers.append(nn.BatchNorm2d())
-        if activation:
-            layers.append(nn.ReLU())
+        # nn.conv_block returns the fused ConvBNReLU when BN is on — same
+        # child tree ('0' conv, '1' bn, '2' relu), Pallas-fused apply
+        block = nn.conv_block(num_filters, kernel, stride=stride,
+                              padding=padding, dilation=dilation, groups=groups,
+                              batch_norm=self.bn, act=activation,
+                              init_mode=self.conv_init)
         if set_output:
             self.in_channels = num_filters
-        return nn.Sequential(layers)
+        return block
 
     def conv_block_depthwise(self, kernel=3, stride=1, padding=0, activation=True) -> nn.Sequential:
         """Depthwise conv (+BN+ReLU): groups == in_channels, multiplier 1
@@ -152,7 +149,9 @@ def build_model(arch: str, setting: Settings) -> Model:
     if arch not in _REGISTRY:
         raise KeyError(f"unknown architecture '{arch}'; have {sorted(_REGISTRY)}")
     with nn.use_policy(policy_from_setting(setting)):
-        return _REGISTRY[arch](setting)
+        model = _REGISTRY[arch](setting)
+    model.registry_name = arch
+    return model
 
 
 def available_models():

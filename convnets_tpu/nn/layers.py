@@ -9,6 +9,7 @@ graph combinators (Sequential, Concat, Add) that the multi-branch nets
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Dict, List, Optional, Sequence
 
 import jax
@@ -89,6 +90,33 @@ class Conv2d(Module):
                 if b is not None:
                     y = y + b.astype(y.dtype)
                 return y, {}
+            if pallas.fits_grouped(x.shape[-1], self.out_channels,
+                                   self.stride, self.dilation, self.groups):
+                y = pallas.grouped_conv2d_train(x, w, self.groups,
+                                                self.stride, self.padding)
+                if b is not None:
+                    y = y + b.astype(y.dtype)
+                return y, {}
+        if (self.stride == (2, 2) and x.shape[-1] <= 4 and self.groups == 1
+                and self.dilation == (1, 1)
+                and os.environ.get("CONVNETS_TPU_S2D", "1") == "1"):
+            # stem conv (e.g. ResNet 7×7/2 on RGB): Cin=3 wastes 125 of the
+            # MXU's 128 contraction lanes. Rewrite as a stride-1 conv over
+            # the 2×2 space-to-depth transform — K grows 4×(Cin→4·Cin),
+            # numerics identical (the MLPerf ResNet space-to-depth trick).
+            from convnets_tpu.ops.pallas.conv import _stride2_as_stride1
+
+            n, ih, iw, _ = x.shape
+            kh, kw = self.kernel
+            ph, pw = self.padding
+            oh = (ih + 2 * ph - kh) // 2 + 1
+            ow = (iw + 2 * pw - kw) // 2 + 1
+            xs, ws = _stride2_as_stride1(x, w, ph, pw, oh, ow)
+            y = ops.conv2d(
+                xs, ws, None if b is None else b.astype(cd),
+                stride=1, padding=0, accum_dtype=self.policy.accum_dtype,
+            )
+            return y, {}
         y = ops.conv2d(
             x, w, None if b is None else b.astype(cd),
             stride=self.stride, padding=self.padding, dilation=self.dilation,
@@ -207,9 +235,11 @@ class MaxPool2d(Module):
     def apply(self, variables, x, *, train=False, rng=None):
         from convnets_tpu.ops import pallas
 
-        if pallas.enabled() and not train:
-            # inference only: the Pallas pool has no VJP; training keeps the
-            # reduce_window path whose max-routing backward XLA provides
+        if pallas.enabled():
+            if train:
+                # Pallas forward + XLA max-routing backward (custom VJP)
+                return pallas.pool2d_train(x, "max", self.kernel, self.stride,
+                                           self.padding), {}
             return pallas.max_pool2d(x, self.kernel, self.stride, self.padding), {}
         return ops.max_pool2d(x, self.kernel, self.stride, self.padding), {}
 
@@ -228,7 +258,10 @@ class AvgPool2d(Module):
     def apply(self, variables, x, *, train=False, rng=None):
         from convnets_tpu.ops import pallas
 
-        if pallas.enabled() and not train:
+        if pallas.enabled():
+            if train:
+                return pallas.pool2d_train(x, "avg", self.kernel, self.stride,
+                                           self.padding), {}
             return pallas.avg_pool2d(x, self.kernel, self.stride, self.padding), {}
         return ops.avg_pool2d(x, self.kernel, self.stride, self.padding), {}
 
@@ -453,16 +486,85 @@ class Add(_MultiBranch):
         return f"Add[{len(self.branches)}]{'+ReLU' if self.post_relu else ''}"
 
 
+class ConvBNReLU(Sequential):
+    """conv → BN → [ReLU] with the train-mode statistics pass fused into
+    the conv kernel (ops/pallas/fused.py) and inference BN folded into the
+    conv epilogue (ops/pallas/conv.py conv2d_fused) — the cuDNN fusion the
+    reference's conv2d_block relies on (reference basemodel.py:999-1015).
+
+    Child layout stays exactly Sequential['0' Conv2d, '1' BatchNorm2d,
+    ('2' ReLU)], so parameter/state trees, init, shapes, and checkpoints
+    are identical to the unfused composition; apply() reroutes to the
+    fused kernels when the Pallas path is enabled and the conv fits the
+    envelope, and falls back to Sequential.apply otherwise.
+    """
+
+    def __init__(self, conv: Conv2d, bn: BatchNorm2d, act: bool):
+        layers: List[Module] = [conv, bn]
+        if act:
+            layers.append(ReLU())
+        super().__init__(layers)
+        self._conv, self._bn, self._act = conv, bn, act
+
+    def _fits(self, cin: int) -> bool:
+        from convnets_tpu.ops import pallas
+
+        c = self._conv
+        if c.use_bias:
+            return False
+        return (pallas.fits_conv(c.stride, c.dilation, c.groups)
+                or pallas.fits_grouped(cin, c.out_channels, c.stride,
+                                       c.dilation, c.groups))
+
+    def apply(self, variables, x, *, train=False, rng=None):
+        from convnets_tpu.ops import pallas
+
+        if not (pallas.enabled() and self._fits(x.shape[-1])):
+            return super().apply(variables, x, train=train, rng=rng)
+
+        c, bn = self._conv, self._bn
+        params, state = variables["params"], variables["state"]
+        cd = c.policy.compute_dtype
+        x = x.astype(cd)
+        w = params["0"]["w"].astype(cd)
+        scale, bias = params["1"]["scale"], params["1"]["bias"]
+        rm, rv = state["1"]["mean"], state["1"]["var"]
+
+        if train:
+            out, mean, var = pallas.conv_bn_relu_train(
+                x, w, scale, bias, c.stride, c.padding, c.groups,
+                bn.eps, self._act)
+            n = out.shape[0] * out.shape[1] * out.shape[2]
+            unbiased = var * (n / max(n - 1, 1))
+            m = bn.momentum
+            new_mean = (1.0 - m) * rm.astype(jnp.float32) + m * mean
+            new_var = (1.0 - m) * rv.astype(jnp.float32) + m * unbiased
+            return out, {"1": {"mean": new_mean, "var": new_var}}
+
+        # inference: fold BN into the conv epilogue (y·scale' + shift')
+        inv = jax.lax.rsqrt(rv.astype(jnp.float32) + bn.eps)
+        s = scale.astype(jnp.float32) * inv
+        sh = bias.astype(jnp.float32) - rm.astype(jnp.float32) * s
+        wd = w if c.groups == 1 else pallas.block_diag_weight(w, c.groups)
+        out = pallas.conv2d_fused(x, wd.astype(cd), s, sh,
+                                  stride=c.stride, padding=c.padding,
+                                  relu=self._act)
+        return out, {}
+
+    def __repr__(self):
+        return f"ConvBNReLU({self._conv!r}){'+ReLU' if self._act else ''}"
+
+
 def conv_block(out_channels, kernel, stride=1, padding=0, dilation=1, groups=1,
                batch_norm=True, act=True, init_mode="he") -> Sequential:
     """conv → [BN] → [ReLU] with bias off iff BN on — the reference's
     conv2d_block / Conv2dBlock (basemodel.py:999-1015, :1045-1067)."""
-    layers: List[Module] = [
-        Conv2d(out_channels, kernel, stride=stride, padding=padding, dilation=dilation,
-               groups=groups, bias=not batch_norm, init_mode=init_mode)
-    ]
+    conv = Conv2d(out_channels, kernel, stride=stride, padding=padding,
+                  dilation=dilation, groups=groups, bias=not batch_norm,
+                  init_mode=init_mode)
     if batch_norm:
-        layers.append(BatchNorm2d())
+        return ConvBNReLU(conv, BatchNorm2d(), act)
+    layers: List[Module] = [conv]
     if act:
         layers.append(ReLU())
     return Sequential(layers)

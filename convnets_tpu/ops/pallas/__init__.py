@@ -20,14 +20,18 @@ import jax
 
 from convnets_tpu.core.shapes import to_pair
 from convnets_tpu.ops.pallas.conv import (
-    conv2d_fused, conv2d_train, depthwise_conv2d, depthwise_train,
+    block_diag_weight, conv2d_fused, conv2d_stats, conv2d_train,
+    depthwise_conv2d, depthwise_train, grouped_conv2d_train,
 )
-from convnets_tpu.ops.pallas.pool import avg_pool2d, max_pool2d
+from convnets_tpu.ops.pallas.fused import conv_bn_relu_train
+from convnets_tpu.ops.pallas.pool import avg_pool2d, max_pool2d, pool2d_train
 
 __all__ = [
-    "conv2d_fused", "conv2d_train", "depthwise_conv2d", "depthwise_train",
-    "max_pool2d", "avg_pool2d", "available", "enabled", "fits_conv",
-    "fits_depthwise",
+    "block_diag_weight", "conv2d_fused", "conv2d_stats", "conv2d_train",
+    "conv_bn_relu_train", "depthwise_conv2d", "depthwise_train",
+    "grouped_conv2d_train", "max_pool2d", "avg_pool2d", "pool2d_train",
+    "available",
+    "enabled", "fits_conv", "fits_depthwise", "fits_grouped",
 ]
 
 
@@ -54,6 +58,20 @@ def fits_conv(stride, dilation, groups: int) -> bool:
     sh, sw = to_pair(stride)
     dh, dw = to_pair(dilation)
     return groups == 1 and (dh, dw) == (1, 1) and (sh, sw) in ((1, 1), (2, 2))
+
+
+def fits_grouped(cin: int, cout: int, stride, dilation, groups: int) -> bool:
+    """Envelope of grouped_conv2d_train's block-diagonal dense path: small
+    per-group channel counts (ResNeXt/SENet/SKNet cardinality-32 blocks,
+    reference resnext.py:93), where the grouped op is memory-bound and the
+    G× structural-zero FLOPs ride otherwise-idle MXU lanes. Wide-group ops
+    (ShuffleNet's Cin/G ≥ 64 1×1s) stay on XLA's native grouped conv —
+    there the dense expansion would waste real compute."""
+    sh, sw = to_pair(stride)
+    dh, dw = to_pair(dilation)
+    return (1 < groups <= 64 and cin % groups == 0 and cout % groups == 0
+            and 2 <= cin // groups <= 32 and (dh, dw) == (1, 1)
+            and (sh, sw) in ((1, 1), (2, 2)))
 
 
 def fits_depthwise(cin: int, cout: int, dilation, groups: int) -> bool:

@@ -250,6 +250,162 @@ def conv2d_fused(
     )(x, wt, ones, zeros)
 
 
+def _conv_stats_kernel(x_ref, w_ref, out_ref, stats_ref, acc_ref,
+                       *, kh, kw, sh, sw, oh, ow):
+    """Conv batch-tile + per-channel batch-stat accumulation.
+
+    Identical implicit GEMM to _conv_kernel, plus a (2, Cout) fp32 stats
+    output accumulated ACROSS grid steps (constant index map → the block
+    stays resident in VMEM): row 0 = Σy, row 1 = Σy² over (N·OH·OW).
+    This is the train-mode BatchNorm statistics pass fused into the conv —
+    the reference gets the same fusion from cuDNN inside conv2d_block
+    (reference basemodel.py:999-1015); unfused, the stats cost a full
+    HBM read of the conv output.
+    """
+    bt = x_ref.shape[0]
+    cin = x_ref.shape[3]
+    cout = out_ref.shape[3]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        stats_ref[:] = jnp.zeros_like(stats_ref)
+
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    xv = x_ref[:]
+    for i in range(kh):
+        for j in range(kw):
+            win = _strided_window(xv, i, j, oh, ow, sh, sw)
+            patches = win.reshape(bt * oh * ow, cin)
+            acc_ref[:] += jnp.dot(
+                patches, w_ref[i * kw + j],
+                preferred_element_type=jnp.float32,
+            )
+
+    y = acc_ref[:]
+    # stats of the stored (compute-dtype) values, not the fp32 accumulator:
+    # keeps the fused path bit-consistent with unfused conv → BN over y
+    ys = y.astype(out_ref.dtype).astype(jnp.float32)
+    stats_ref[0, :] += jnp.sum(ys, axis=0)
+    stats_ref[1, :] += jnp.sum(ys * ys, axis=0)
+    out_ref[:] = y.reshape(bt, oh, ow, cout).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("stride", "padding", "interpret"))
+def conv2d_stats(x, w, *, stride=1, padding=0, interpret=False):
+    """Conv forward that also returns per-channel (Σy, Σy²) over (N,OH,OW)
+    — the fused statistics pass of train-mode conv+BN. Returns
+    (y, sums, sumsq) with sums/sumsq fp32 (Cout,). Falls back to XLA conv +
+    reduction outside the Pallas envelope (the reduction then costs one
+    extra HBM pass, same as the unfused path)."""
+    n, ih, iw, cin = x.shape
+    kh, kw, wc, cout = w.shape
+    assert wc == cin, f"grouped conv needs block-diag expansion ({wc} != {cin})"
+    sh, sw = to_pair(stride)
+    ph, pw = to_pair(padding)
+    oh = (ih + 2 * ph - kh) // sh + 1
+    ow = (iw + 2 * pw - kw) // sw + 1
+
+    if (sh, sw) == (2, 2):
+        xs, ws = _stride2_as_stride1(x, w, ph, pw, oh, ow)
+        return conv2d_stats(xs, ws, stride=1, padding=0, interpret=interpret)
+
+    need_h = oh * sh + kh - 1
+    need_w = ow * sw + kw - 1
+    ihp, iwp = need_h, need_w
+
+    bt = _pick_batch_tile(n, ihp, iwp, cin, cout, oh, ow, x.dtype.itemsize,
+                          fudge=2.0)
+    per_sample = (ihp * iwp * cin * x.dtype.itemsize
+                  + oh * ow * cout * (x.dtype.itemsize + 4))
+    if bt == 1 and per_sample * 2 > 12 * 1024 * 1024:
+        from convnets_tpu.ops.conv import conv2d as lax_conv2d
+
+        y = lax_conv2d(x, w.astype(x.dtype), stride=(sh, sw), padding=(ph, pw))
+        yf = y.astype(jnp.float32)
+        return y, jnp.sum(yf, axis=(0, 1, 2)), jnp.sum(yf * yf, axis=(0, 1, 2))
+
+    x = _pad_to_extent(x, ph, pw, need_h, need_w)
+    wt = w.reshape(kh * kw, cin, cout).astype(x.dtype)
+    kernel = functools.partial(_conv_stats_kernel, kh=kh, kw=kw, sh=sh, sw=sw,
+                               oh=oh, ow=ow)
+    flops = 2 * n * oh * ow * cin * cout * kh * kw
+    y, stats = pl.pallas_call(
+        kernel,
+        grid=(n // bt,),
+        in_specs=[
+            pl.BlockSpec((bt, ihp, iwp, cin), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kh * kw, cin, cout), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bt, oh, ow, cout), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, cout), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, oh, ow, cout), x.dtype),
+            jax.ShapeDtypeStruct((2, cout), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((bt * oh * ow, cout), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=x.size * x.dtype.itemsize
+            + wt.size * wt.dtype.itemsize
+            + n * oh * ow * cout * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, wt)
+    return y, stats[0], stats[1]
+
+
+def block_diag_weight(w, groups: int):
+    """Expand a grouped HWIO weight (kh, kw, Cin/G, Cout) into the dense
+    block-diagonal equivalent (kh, kw, Cin, Cout): group g's filters see
+    only input channels [g·cg, (g+1)·cg). Lets the grouped convs of
+    ResNeXt (cardinality 32, reference resnext.py:93) and ShuffleNet
+    (g 1–8, reference shufflenet_v1.py:119-141) ride the same dense
+    implicit-GEMM MXU kernel — trading G× redundant FLOPs (multiplies by
+    structural zeros) for full 128-lane contraction, a win whenever the
+    grouped op is memory-bound (small per-group channel counts)."""
+    kh, kw, cg, cout = w.shape
+    og = cout // groups
+    dense = jnp.zeros((kh, kw, cg * groups, cout), w.dtype)
+    for g in range(groups):
+        dense = dense.at[:, :, g * cg:(g + 1) * cg, g * og:(g + 1) * og].set(
+            w[:, :, :, g * og:(g + 1) * og])
+    return dense
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def grouped_conv2d_train(x, w, groups, stride=1, padding=0, interpret=False):
+    """Trainable grouped conv: forward through the dense Pallas kernel on a
+    block-diagonal weight, cotangents through XLA's grouped conv transpose
+    (which never materializes the dense blocks — dw comes back exactly
+    (kh, kw, Cin/G, Cout))."""
+    return conv2d_fused(x, block_diag_weight(w, groups).astype(x.dtype),
+                        stride=stride, padding=padding, interpret=interpret)
+
+
+def _grouped_train_fwd(x, w, groups, stride, padding, interpret):
+    return grouped_conv2d_train(x, w, groups, stride, padding, interpret), (x, w)
+
+
+def _grouped_train_bwd(groups, stride, padding, interpret, res, g):
+    from convnets_tpu.ops.conv import conv2d as lax_conv2d
+
+    x, w = res
+    _, vjp = jax.vjp(
+        lambda x_, w_: lax_conv2d(x_, w_, stride=stride, padding=padding,
+                                  groups=groups), x, w
+    )
+    return vjp(g.astype(x.dtype))
+
+
+grouped_conv2d_train.defvjp(_grouped_train_fwd, _grouped_train_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def conv2d_train(x, w, stride=1, padding=0, interpret=False):
     """Trainable Pallas conv: forward through the implicit-GEMM kernel,

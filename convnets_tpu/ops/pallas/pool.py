@@ -82,3 +82,26 @@ def max_pool2d(x, kernel, stride=None, padding=0, *, interpret=False):
 def avg_pool2d(x, kernel, stride=None, padding=0, *, interpret=False):
     """Avg pool (torch AvgPool2d count_include_pad=True semantics)."""
     return _pool(x, kernel, stride, padding, "avg", interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5))
+def pool2d_train(x, mode, kernel, stride=None, padding=0, interpret=False):
+    """Trainable Pallas pool: forward through the VPU kernel, backward via
+    XLA's reduce_window VJP (max-routing / uniform spread — both already
+    optimal lowerings), same split as conv2d_train."""
+    return _pool(x, kernel, stride, padding, mode, interpret)
+
+
+def _pool_train_fwd(x, mode, kernel, stride, padding, interpret):
+    return pool2d_train(x, mode, kernel, stride, padding, interpret), x
+
+
+def _pool_train_bwd(mode, kernel, stride, padding, interpret, x, g):
+    from convnets_tpu.ops import pool as lax_pool
+
+    fn = lax_pool.max_pool2d if mode == "max" else lax_pool.avg_pool2d
+    _, vjp = jax.vjp(lambda x_: fn(x_, kernel, stride, padding), x)
+    return vjp(g.astype(x.dtype))
+
+
+pool2d_train.defvjp(_pool_train_fwd, _pool_train_bwd)

@@ -28,7 +28,9 @@ import numpy as np
 
 from convnets_tpu import ops
 from convnets_tpu.core.rng import key_for
-from convnets_tpu.data.augment import augment_batch, normalize
+from convnets_tpu.data.augment import (
+    augment_batch, center_crop_resize, normalize, random_resized_crop_batch,
+)
 from convnets_tpu.data.loader import DataLoader, device_prefetch
 from convnets_tpu.models.base import Model
 from convnets_tpu.parallel.mesh import data_sharding, make_mesh, replicated
@@ -145,8 +147,16 @@ class Trainer:
                 # into the augment/normalize chain)
                 x = x.astype(jnp.float32) / 255.0
             aug_key, drop_key = jax.random.split(rng)
-            if augment:
+            target_hw = model.input_shape_nhwc[:2]
+            if augment and tuple(x.shape[1:3]) != tuple(target_hw):
+                # 224-class path (BASELINE.json config #3): raw images come
+                # off the loader larger than the model input; crop+resize
+                # on device in the same jit (RandomResizedCrop semantics)
+                x = random_resized_crop_batch(aug_key, x, tuple(target_hw))
+            elif augment:
                 x = augment_batch(aug_key, x, do_affine=do_affine)
+            elif tuple(x.shape[1:3]) != tuple(target_hw):
+                x = center_crop_resize(x, tuple(target_hw))
             if norm:
                 x = normalize(x, **norm_kw)
             x = x.astype(model.policy.compute_dtype)
@@ -224,6 +234,10 @@ class Trainer:
         def eval_step(state: TrainState, x, y, w):
             if x.dtype == jnp.uint8:
                 x = x.astype(jnp.float32) / 255.0
+            target_hw = model.input_shape_nhwc[:2]
+            if tuple(x.shape[1:3]) != tuple(target_hw):
+                # eval-path Resize+CenterCrop for the 224-class configs
+                x = center_crop_resize(x, tuple(target_hw))
             if norm:
                 x = normalize(x, **norm_kw)
             x = x.astype(model.policy.compute_dtype)
@@ -612,6 +626,8 @@ class Trainer:
             settings_dict=self.setting.to_dict(),
             scheduler_state=self.scheduler.to_state() if self.scheduler else {},
             optimizer_name=self.optimizer_name,
+            extra={"arch": getattr(self.model, "registry_name", self.model.arch),
+                   "model_name": self.model.model_name},
         )
 
     def load_checkpoint(self, path: Optional[str] = None) -> dict:

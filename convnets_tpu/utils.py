@@ -53,19 +53,34 @@ def get_models_scores(
     from convnets_tpu.train import checkpoint as ckpt
     from convnets_tpu.train.engine import Trainer
 
+    import re
+
+    # highest version per model_name (reference semantics,
+    # basemodel.py:892-915 — same rule as checkpoint.get_last_checkpoint,
+    # applied across every model in the directory)
+    pat = re.compile(r"^(.+)-(\d+)-(\w+)" + re.escape(ckpt.EXT) + "$")
+    latest: Dict[str, tuple] = {}
+    if os.path.isdir(output_dir):
+        for fname in os.listdir(output_dir):
+            m = pat.match(fname)
+            if m:
+                name, version = m.group(1), int(m.group(2))
+                if name not in latest or version > latest[name][0]:
+                    latest[name] = (version, os.path.join(output_dir, fname))
+
+    wanted = set(archs or available_models())
     scores: Dict[str, List[float]] = {}
-    for arch in (archs or available_models()):
-        # find any checkpoint for this arch (any kind/version)
-        found = None
-        if os.path.isdir(output_dir):
-            for fname in sorted(os.listdir(output_dir), reverse=True):
-                if fname.lower().startswith(arch.replace("_", "")) and fname.endswith(ckpt.EXT):
-                    found = os.path.join(output_dir, fname)
-                    break
-        if found is None:
-            continue
+    for model_name, (_, found) in sorted(latest.items()):
         _, meta = ckpt.load_checkpoint(found)
         sd = meta["settings"]
+        arch = meta.get("extra", {}).get("arch")
+        if arch is None:  # pre-r2 checkpoint: match the arch by model name
+            flat = model_name.lower()
+            cands = [a for a in available_models()
+                     if flat.startswith(a.replace("_", ""))]
+            arch = max(cands, key=len) if cands else None
+        if arch is None or arch not in wanted:
+            continue
         setting = Settings(kind=sd["kind"], input_size=sd["input_size"],
                            num_classes=sd["num_classes"])
         setting.load_values({k: v for k, v in sd.items()

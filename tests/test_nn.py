@@ -103,3 +103,25 @@ def test_summarize_runs():
     s = nn.summarize(model, (1, 8, 8, 3))
     assert "total params" in s
     assert "Linear(10)" in s
+
+
+def test_conv_s2d_stem_matches_direct(monkeypatch):
+    """Stride-2 small-Cin convs rewritten via space-to-depth (the stem
+    MXU trick) match the direct strided conv, fwd and dw-grad."""
+    conv = nn.Conv2d(16, 7, stride=2, padding=3, bias=False)
+    x = jax.random.normal(jax.random.key(0), (2, 16, 16, 3), jnp.float32)
+    v = conv.init(jax.random.key(1), x.shape)
+
+    monkeypatch.setenv("CONVNETS_TPU_S2D", "0")
+    y_direct, _ = conv.apply(v, x)
+    g_direct = jax.grad(lambda w: jnp.sum(
+        conv.apply({"params": {"w": w}, "state": {}}, x)[0] ** 2))(v["params"]["w"])
+
+    monkeypatch.setenv("CONVNETS_TPU_S2D", "1")
+    y_s2d, _ = conv.apply(v, x)
+    g_s2d = jax.grad(lambda w: jnp.sum(
+        conv.apply({"params": {"w": w}, "state": {}}, x)[0] ** 2))(v["params"]["w"])
+
+    assert y_s2d.shape == y_direct.shape == (2, 8, 8, 16)
+    np.testing.assert_allclose(y_s2d, y_direct, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(g_s2d, g_direct, rtol=1e-3, atol=1e-3)

@@ -84,6 +84,139 @@ def test_conv2d_fused_bf16():
                                np.asarray(want, np.float32), rtol=0.1, atol=0.1)
 
 
+@pytest.mark.parametrize("stride,padding,k", [(1, 1, 3), (2, 1, 3)])
+def test_conv2d_stats_matches_lax(stride, padding, k):
+    from convnets_tpu.ops.pallas import conv2d_stats
+
+    x = rand(0, (4, 16, 16, 8))
+    w = rand(1, (k, k, 8, 32)) * 0.1
+    y, s1, s2 = conv2d_stats(x, w, stride=stride, padding=padding,
+                             interpret=True)
+    want = ops.conv2d(x, w, stride=stride, padding=padding)
+    np.testing.assert_allclose(y, want, rtol=RTOL, atol=ATOL)
+    wf = np.asarray(want, np.float64)
+    np.testing.assert_allclose(s1, wf.sum(axis=(0, 1, 2)), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(s2, (wf * wf).sum(axis=(0, 1, 2)), rtol=1e-4,
+                               atol=1e-4)
+
+
+@pytest.mark.parametrize("groups,stride", [(4, 1), (8, 2), (32, 1)])
+def test_grouped_conv_train_matches_lax(groups, stride):
+    from convnets_tpu.ops.pallas import grouped_conv2d_train
+
+    cin, cout = groups * 4, groups * 8
+    x = rand(0, (2, 8, 8, cin))
+    w = rand(1, (3, 3, 4, cout)) * 0.1
+    got = grouped_conv2d_train(x, w, groups, stride, 1, True)
+    want = ops.conv2d(x, w, stride=stride, padding=1, groups=groups)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    # gradients flow through the lax grouped transpose, never the dense blocks
+    def f_pal(x_, w_):
+        return jnp.sum(grouped_conv2d_train(x_, w_, groups, stride, 1, True) ** 2)
+
+    def f_lax(x_, w_):
+        return jnp.sum(ops.conv2d(x_, w_, stride=stride, padding=1,
+                                  groups=groups) ** 2)
+
+    gx_p, gw_p = jax.grad(f_pal, argnums=(0, 1))(x, w)
+    gx_l, gw_l = jax.grad(f_lax, argnums=(0, 1))(x, w)
+    assert gw_p.shape == w.shape
+    np.testing.assert_allclose(gx_p, gx_l, rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(gw_p, gw_l, rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("groups,stride,relu", [(1, 1, True), (1, 2, True),
+                                                (1, 1, False), (4, 1, True)])
+def test_conv_bn_relu_train_matches_unfused(groups, stride, relu):
+    """Fused conv+BN+ReLU: forward AND all four gradients match the
+    unfused conv2d → batch_norm_train → relu oracle in fp32."""
+    from convnets_tpu.ops.pallas import conv_bn_relu_train
+
+    cin, cout = 8 * groups, 16 * groups
+    eps = 1e-5
+    x = rand(0, (4, 8, 8, cin))
+    w = rand(1, (3, 3, cin // groups, cout)) * 0.2
+    gamma = rand(2, (cout,)) * 0.3 + 1.0
+    beta = rand(3, (cout,)) * 0.2
+    probe = rand(4, (4, 8 // stride, 8 // stride, cout))
+    rm, rv = jnp.zeros((cout,)), jnp.ones((cout,))
+
+    def fused(x_, w_, g_, b_):
+        out, mean, var = conv_bn_relu_train(x_, w_, g_, b_, stride, 1,
+                                            groups, eps, relu, True)
+        return out, mean, var
+
+    def unfused(x_, w_, g_, b_):
+        y = ops.conv2d(x_, w_, stride=stride, padding=1, groups=groups)
+        out, nm, nv = ops.batch_norm_train(y, rm, rv, g_, b_, eps=eps)
+        if relu:
+            out = ops.relu(out)
+        return out, nm, nv
+
+    out_f, mean_f, var_f = fused(x, w, gamma, beta)
+    out_u, _, _ = unfused(x, w, gamma, beta)
+    np.testing.assert_allclose(out_f, out_u, rtol=1e-4, atol=1e-4)
+
+    yf = np.asarray(ops.conv2d(x, w, stride=stride, padding=1, groups=groups),
+                    np.float64)
+    np.testing.assert_allclose(mean_f, yf.mean(axis=(0, 1, 2)), rtol=1e-4,
+                               atol=1e-4)
+    np.testing.assert_allclose(var_f, yf.var(axis=(0, 1, 2)), rtol=1e-3,
+                               atol=1e-4)
+
+    def loss(fn):
+        return lambda *a: jnp.sum(fn(*a)[0] * probe)
+
+    grads_f = jax.grad(loss(fused), argnums=(0, 1, 2, 3))(x, w, gamma, beta)
+    grads_u = jax.grad(loss(unfused), argnums=(0, 1, 2, 3))(x, w, gamma, beta)
+    for gf, gu, name in zip(grads_f, grads_u, ("dx", "dw", "dgamma", "dbeta")):
+        np.testing.assert_allclose(gf, gu, rtol=2e-3, atol=2e-3,
+                                   err_msg=name)
+
+
+@pytest.mark.parametrize("groups", [1, 4])
+def test_conv_bn_relu_layer_dispatch(monkeypatch, groups):
+    """conv_block (ConvBNReLU) fused path == unfused Sequential path:
+    output, running-stat updates, and parameter gradients, train and eval."""
+    from jax.experimental.pallas import tpu as pltpu
+    from convnets_tpu.ops import pallas as P
+    from convnets_tpu import nn
+
+    cin = 8 * groups
+    block = nn.conv_block(16 * groups, 3, stride=1, padding=1, groups=groups)
+    assert isinstance(block, nn.ConvBNReLU)
+    x = rand(0, (4, 8, 8, cin))
+    v = block.init(jax.random.key(0), x.shape)
+
+    out_lax, ns_lax = block.apply(v, x, train=True)
+    ev_lax, _ = block.apply(v, x, train=False)
+
+    def loss(params):
+        y, _ = block.apply({"params": params, "state": v["state"]}, x,
+                           train=True)
+        return jnp.sum(y ** 2)
+
+    g_lax = jax.grad(loss)(v["params"])
+
+    monkeypatch.setattr(P, "enabled", lambda: True)
+    with pltpu.force_tpu_interpret_mode():
+        out_pal, ns_pal = block.apply(v, x, train=True)
+        ev_pal, _ = block.apply(v, x, train=False)
+        g_pal = jax.grad(loss)(v["params"])
+
+    np.testing.assert_allclose(out_pal, out_lax, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(ev_pal, ev_lax, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(ns_pal["1"]["mean"], ns_lax["1"]["mean"],
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(ns_pal["1"]["var"], ns_lax["1"]["var"],
+                               rtol=1e-3, atol=1e-4)
+    for path in (("0", "w"), ("1", "scale"), ("1", "bias")):
+        gp, gl = g_pal[path[0]][path[1]], g_lax[path[0]][path[1]]
+        np.testing.assert_allclose(gp, gl, rtol=2e-3, atol=2e-3,
+                                   err_msg=str(path))
+
+
 def test_layer_dispatch_interpret(monkeypatch):
     """Conv2d/pool layers route through the Pallas kernels when enabled
     (forced interpret mode on CPU) and still match the lax path."""
@@ -111,3 +244,18 @@ def test_layer_dispatch_interpret(monkeypatch):
     np.testing.assert_allclose(y_pal, y_lax, rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(p_pal, p_lax, rtol=1e-5, atol=1e-5)
     assert g.shape == v["params"]["w"].shape
+
+
+@pytest.mark.parametrize("mode", ["max", "avg"])
+def test_pool2d_train_fwd_and_grad(mode):
+    from convnets_tpu.ops.pallas import pool2d_train
+
+    x = rand(0, (4, 16, 16, 8))
+    lax_fn = ops.max_pool2d if mode == "max" else ops.avg_pool2d
+    got = pool2d_train(x, mode, 3, 2, 1, True)
+    want = lax_fn(x, 3, 2, 1)
+    np.testing.assert_allclose(got, want, rtol=RTOL, atol=ATOL)
+
+    g_pal = jax.grad(lambda x_: jnp.sum(pool2d_train(x_, mode, 3, 2, 1, True) ** 2))(x)
+    g_lax = jax.grad(lambda x_: jnp.sum(lax_fn(x_, 3, 2, 1) ** 2))(x)
+    np.testing.assert_allclose(g_pal, g_lax, rtol=1e-4, atol=1e-4)
