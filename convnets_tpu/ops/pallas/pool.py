@@ -53,10 +53,22 @@ def _pool(x, kernel, stride, padding, mode, interpret):
 
     need_h = oh * sh + kh - 1
     need_w = ow * sw + kw - 1
-    pad_val = x.dtype.type(-jnp.inf) if mode == "max" else x.dtype.type(0)
-    x = _pad_to_extent(x, ph, pw, need_h, need_w, value=pad_val)
 
     bt = _pick_batch_tile(n, need_h, need_w, c, c, oh, ow, x.dtype.itemsize, fudge=9.0)
+    per_sample = (need_h * need_w * c * x.dtype.itemsize
+                  + oh * ow * c * (x.dtype.itemsize + 4))
+    if bt == 1 and per_sample * 9.0 > 12 * 1024 * 1024:
+        # ImageNet-scale spatial extents: even one sample's window
+        # temporaries blow the 16 MB scoped-VMEM stack (measured: RN50
+        # 114×114×64 maxpool wants ~50 MB) — reduce_window is strong
+        # exactly there, so fall back
+        from convnets_tpu.ops import pool as lax_pool
+
+        fn = lax_pool.max_pool2d if mode == "max" else lax_pool.avg_pool2d
+        return fn(x, (kh, kw), (sh, sw), (ph, pw))
+
+    pad_val = x.dtype.type(-jnp.inf) if mode == "max" else x.dtype.type(0)
+    x = _pad_to_extent(x, ph, pw, need_h, need_w, value=pad_val)
     body = functools.partial(_pool_kernel, kh=kh, kw=kw, sh=sh, sw=sw,
                              oh=oh, ow=ow, mode=mode,
                              inv_area=1.0 / (kh * kw))

@@ -1,0 +1,83 @@
+"""Collect the CINIC training-campaign results into RESULTS_CINIC.json and
+render the measured-vs-reference benchmark analysis.
+
+Reads every data/output/RESULT-cinic-*.json the queue produced
+(scripts/train_queue.sh), writes the consolidated RESULTS_CINIC.json at the
+repo root (accuracy parity scoreboard vs BASELINE.md), merges the measured
+rows into the reference benchmark table (viz/reference_results.py), and
+renders metrics_analysis + model-comparison plots to data/output/plots/.
+"""
+
+import glob
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REFERENCE_TOP1 = {
+    "ResNet26": ("ResNet-26", 74.81),
+    "MobileNetV1standard": ("MobileNet-v1", 74.39),
+    "SqueezeNet1.1": ("SqueezeNet-v1.1", 71.38),
+    "SEResNet26": ("SEResNet-26", 74.08),
+    "VGGNet11": ("VGGNet-11", 72.87),
+    "InceptionNetV1standard": ("InceptionNet-v1", 72.95),
+    "DenseNet121": ("DenseNet-121", 74.08),
+    "ShuffleNetV1g4": ("ShuffleNet-v1-g4", 66.16),
+    "SKResNet26": ("SKResNet-26", 74.96),
+}
+
+
+def main():
+    records = []
+    for path in sorted(glob.glob("data/output/RESULT-cinic-*.json")):
+        with open(path) as f:
+            records.append(json.load(f))
+    if not records:
+        print("no RESULT-cinic-*.json found")
+        return
+
+    rows = []
+    for r in records:
+        ref_name, ref_top1 = REFERENCE_TOP1.get(r["config"], (r["config"], None))
+        rows.append({
+            "config": r["config"],
+            "reference_row": ref_name,
+            "test_top1_pct": r["test_top1_pct"],
+            "reference_top1_pct": ref_top1,
+            "parity": (None if ref_top1 is None
+                       else bool(r["test_top1_pct"] >= ref_top1)),
+            "test_throughput_img_s": r["test_throughput_img_s"],
+            "train_time_min": r["train_time_min"],
+            "epochs": r["epochs_ran"],
+            "hparams": r["hparams"],
+            "checkpoint": r["checkpoint"],
+        })
+    out = {"dataset": "CINIC-10", "runs": rows}
+    with open("RESULTS_CINIC.json", "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps([{k: row[k] for k in
+                       ("config", "test_top1_pct", "reference_top1_pct", "parity")}
+                      for row in rows], indent=2))
+
+    # measured rows merged into the reference table → analysis plots
+    from convnets_tpu.viz.reference_results import (
+        merge_measurements, reference_table,
+    )
+    from convnets_tpu.viz import PlotMngr
+
+    table = reference_table()
+    for r, row in zip(records, rows):
+        table = merge_measurements(table, row["reference_row"] + " (tpu)", {
+            "Throughput": r["test_throughput_img_s"],
+            "Training Time": r["train_time_min"],
+            "Accuracy": r["test_top1_pct"],
+        })
+    os.makedirs("data/output/plots", exist_ok=True)
+    plots = PlotMngr(output_dir="data/output/plots")
+    paths = plots.metrics_analysis(table, name_prefix="cinic_r2")
+    print("plots:", paths)
+
+
+if __name__ == "__main__":
+    main()

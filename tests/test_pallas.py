@@ -259,3 +259,13 @@ def test_pool2d_train_fwd_and_grad(mode):
     g_pal = jax.grad(lambda x_: jnp.sum(pool2d_train(x_, mode, 3, 2, 1, True) ** 2))(x)
     g_lax = jax.grad(lambda x_: jnp.sum(lax_fn(x_, 3, 2, 1) ** 2))(x)
     np.testing.assert_allclose(g_pal, g_lax, rtol=1e-4, atol=1e-4)
+
+
+def test_pool_large_spatial_falls_back():
+    """ImageNet-scale pools exceed the scoped-VMEM stack (measured ~50 MB
+    at RN50's 114×114×64) — the kernel must fall back to reduce_window
+    instead of emitting an uncompilable pallas_call."""
+    x = rand(0, (2, 114, 114, 64))
+    got = max_pool2d(x, 3, 2, 1)
+    want = ops.max_pool2d(x, 3, 2, 1)
+    np.testing.assert_allclose(got, want, rtol=RTOL, atol=ATOL)
