@@ -111,9 +111,11 @@ class ImageFolderDataset(Dataset):
     # epoch is the training-throughput bound (VERDICT r1 missing #5), while
     # the cache turns epochs 2+ into pure memory reads.
     CACHE_BUDGET_BYTES = 4 << 30
+    # decoded splits smaller than this aren't worth persisting to disk
+    MIN_PERSIST_BYTES = 32 << 20
 
     def __init__(self, root: str, image_size: Optional[Tuple[int, int]] = None,
-                 cache: Optional[bool] = None):
+                 cache: Optional[bool] = None, disk_cache: Optional[str] = None):
         if not os.path.isdir(root):
             raise FileNotFoundError(root)
         self.root = root
@@ -139,11 +141,25 @@ class ImageFolderDataset(Dataset):
         if cache is None:
             cache = (len(self._paths) * int(np.prod(self.image_shape))
                      <= self.CACHE_BUDGET_BYTES)
-        self._cache = (np.zeros((len(self._paths), *self.image_shape), np.uint8)
-                       if cache else None)
-        # per-image "decoded" flags; rows are written by at most one decode
-        # worker per epoch (disjoint batch indices), so no lock is needed
-        self._cached = np.zeros(len(self._paths), bool) if cache else None
+        # disk_cache: persisted decode cache (one .npy of the whole split's
+        # uint8 tensor). Decoding 90k 32×32 PNGs costs ~85 s on this 1-core
+        # host; with the file present, later processes mmap it instead.
+        self._disk_cache_path = disk_cache if cache else None
+        loaded = None
+        if self._disk_cache_path and os.path.exists(self._disk_cache_path):
+            arr = np.load(self._disk_cache_path, mmap_mode="r")
+            if arr.shape == (len(self._paths), *self.image_shape):
+                loaded = arr
+                self._disk_cache_path = None  # nothing left to persist
+        if loaded is not None:
+            self._cache = loaded
+            self._cached = np.ones(len(self._paths), bool)
+        else:
+            self._cache = (np.zeros((len(self._paths), *self.image_shape), np.uint8)
+                           if cache else None)
+            # per-image "decoded" flags; rows are written by at most one decode
+            # worker per epoch (disjoint batch indices), so no lock is needed
+            self._cached = np.zeros(len(self._paths), bool) if cache else None
 
     def __len__(self):
         return len(self._paths)
@@ -167,9 +183,28 @@ class ImageFolderDataset(Dataset):
                 if not self._cached[i]:
                     self._cache[i] = self._decode(i)
                     self._cached[i] = True
+            self._maybe_persist_cache()
             return self._cache[indices], self.labels[indices]
         return (np.stack([self._decode(i) for i in indices]),
                 self.labels[indices])
+
+    def _maybe_persist_cache(self):
+        """Write the decode cache to disk once every image is decoded
+        (atomic tmp+rename so concurrent readers never see a torn file)."""
+        if self._disk_cache_path is None or not self._cached.all():
+            return
+        if self._cache.nbytes < self.MIN_PERSIST_BYTES:
+            self._disk_cache_path = None
+            return
+        path = self._disk_cache_path
+        self._disk_cache_path = None
+        try:
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+            tmp = f"{path}.{os.getpid()}.tmp.npy"
+            np.save(tmp, self._cache)
+            os.replace(tmp, path)
+        except OSError:
+            pass  # cache persistence is best-effort
 
     def all_labels(self):
         return self.labels

@@ -10,13 +10,21 @@ import os
 
 import numpy as np
 
-from convnets_tpu.data.datasets import CINIC_MEAN, CINIC_STD, ImageFolderDataset
-from convnets_tpu.data.loader import DataLoader
+from convnets_tpu.data.datasets import (
+    CINIC_MEAN, CINIC_STD, Dataset, ImageFolderDataset,
+)
+from convnets_tpu.data.loader import DataLoader, DeviceCacheLoader
 
 
 class DataMngr:
     ROOT_DIR = os.getcwd()
     CINIC_DIR = os.path.join(ROOT_DIR, "data", "CINIC-10")
+    # data/cache/<dataset>-<split>.npy persisted decode caches
+    CACHE_DIR = os.path.join(ROOT_DIR, "data", "cache")
+    # Settings.device_cache=None → auto: splits up to this many decoded
+    # bytes live resident in device HBM (CINIC's 276 MB/split qualifies;
+    # ImageNet-class data streams through the host DataLoader instead)
+    DEVICE_CACHE_AUTO_BYTES = 1 << 30
 
     def __init__(self, setting, root: str | None = None):
         self.setting = setting
@@ -30,25 +38,42 @@ class DataMngr:
 
     def _dataset(self, split: str) -> ImageFolderDataset:
         if split not in self._datasets:
-            self._datasets[split] = ImageFolderDataset(os.path.join(self.root, split))
+            name = os.path.basename(os.path.normpath(self.root))
+            self._datasets[split] = ImageFolderDataset(
+                os.path.join(self.root, split),
+                disk_cache=os.path.join(self.CACHE_DIR, f"{name}-{split}.npy"),
+            )
         return self._datasets[split]
 
-    def load_train(self, host_id: int = 0, num_hosts: int = 1) -> DataLoader:
-        loader = DataLoader(
-            self._dataset("train"), self.batch_size, shuffle=True,
-            seed=self.setting.seed, num_workers=self.setting.num_workers,
+    def _use_device_cache(self, ds: Dataset) -> bool:
+        flag = getattr(self.setting, "device_cache", None)
+        if flag is not None:
+            return bool(flag)
+        return (len(ds) * int(np.prod(ds.image_shape))
+                <= self.DEVICE_CACHE_AUTO_BYTES)
+
+    def _make_loader(self, split: str, shuffle: bool, host_id: int,
+                     num_hosts: int):
+        ds = self._dataset(split)
+        if self._use_device_cache(ds):
+            return DeviceCacheLoader(
+                ds, self.batch_size, shuffle=shuffle, seed=self.setting.seed,
+                host_id=host_id, num_hosts=num_hosts,
+            )
+        return DataLoader(
+            ds, self.batch_size, shuffle=shuffle, seed=self.setting.seed,
+            num_workers=self.setting.num_workers,
             host_id=host_id, num_hosts=num_hosts,
         )
+
+    def load_train(self, host_id: int = 0, num_hosts: int = 1) -> DataLoader:
+        loader = self._make_loader("train", True, host_id, num_hosts)
         loader.augment = self.data_augment
         loader.normalize = self.data_norm
         return loader
 
     def load_valid(self, host_id: int = 0, num_hosts: int = 1) -> DataLoader:
-        loader = DataLoader(
-            self._dataset("valid"), self.batch_size, shuffle=False,
-            num_workers=self.setting.num_workers,
-            host_id=host_id, num_hosts=num_hosts,
-        )
+        loader = self._make_loader("valid", False, host_id, num_hosts)
         loader.augment = False
         loader.normalize = self.data_norm
         return loader
@@ -56,11 +81,7 @@ class DataMngr:
     def load_test(self, host_id: int = 0, num_hosts: int = 1) -> DataLoader:
         # the reference shuffles the test loader deliberately for its
         # statistical subsampling protocol (mngrdata.py:211)
-        loader = DataLoader(
-            self._dataset("test"), self.batch_size, shuffle=True,
-            seed=self.setting.seed, num_workers=self.setting.num_workers,
-            host_id=host_id, num_hosts=num_hosts,
-        )
+        loader = self._make_loader("test", True, host_id, num_hosts)
         loader.augment = False
         loader.normalize = self.data_norm
         return loader

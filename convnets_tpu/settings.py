@@ -184,12 +184,14 @@ class Settings(HyperParams):
     DEF_LOSS_REDUCTION = "sum"       # "sum" | "mean"
 
     # TPU/SPMD environment defaults (replace the reference's DEF_DEVICE)
+    DEF_DEVICE_CACHE = None  # None → auto: keep splits resident in HBM when they fit
     DEF_REMAT = False  # rematerialize blocks in backward (HBM vs FLOPs)
     DEF_MESH_SHAPE = None  # None → all visible devices on one 'data' axis
     DEF_DATA_AXIS = "data"
     DEF_OUTPUT_DIR = "data/output"
 
     ENV_FIELDS = (
+        "device_cache",
         "remat",
         "sanity_check",
         "debug",
@@ -244,6 +246,7 @@ class Settings(HyperParams):
         mesh_shape=None,
         data_axis=None,
         output_dir=None,
+        device_cache=None,
         remat=None,
         optimizer=None,
         momentum=None,
@@ -289,6 +292,7 @@ class Settings(HyperParams):
             mesh_shape=mesh_shape,
             data_axis=data_axis,
             output_dir=output_dir,
+            device_cache=device_cache,
             remat=remat,
             optimizer=optimizer,
             momentum=momentum,

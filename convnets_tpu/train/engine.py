@@ -296,8 +296,10 @@ class Trainer:
         data_s, _ = self._shardings()
         base_key = key_for(self.setting.seed, "dropout", epoch_index)
 
-        loss_sum = 0.0
-        correct_sum = 0.0
+        # per-step metrics stay on device until the epoch ends — a float()
+        # per step would sync host↔device every step and cap the dispatch
+        # queue depth (expensive behind the remote PJRT tunnel)
+        losses, corrects = [], []
         for step, (x, y, w) in enumerate(
             device_prefetch(loader, size=2, sharding=data_s)
         ):
@@ -309,11 +311,13 @@ class Trainer:
                       f"grad_norm={float(gnorm):.4e}")
             else:
                 self.state, loss, correct = step_fn(self.state, x, y, w, rng)
-            loss_sum += float(loss)
-            correct_sum += float(correct)
+            losses.append(loss)
+            corrects.append(correct)
             if self.setting.sanity_check:
                 break
         n = loader.num_examples
+        loss_sum = float(np.sum(jax.device_get(losses)))
+        correct_sum = float(np.sum(jax.device_get(corrects)))
         return loss_sum / n, correct_sum / n
 
     def _run_eval_epoch(self, loader: DataLoader, collect_preds: bool = False):
@@ -321,13 +325,12 @@ class Trainer:
         step_fn = self._get_eval_step(norm, stats=self._resolve_stats(loader))
         data_s, _ = self._shardings()
 
-        loss_sum = 0.0
-        correct_sum = 0.0
+        losses, corrects = [], []
         all_preds, all_targets = [], []
         for x, y, w in device_prefetch(loader, size=2, sharding=data_s):
             loss, correct, preds = step_fn(self.state, x, y, w)
-            loss_sum += float(loss)
-            correct_sum += float(correct)
+            losses.append(loss)
+            corrects.append(correct)
             if collect_preds:
                 k = int(np.sum(np.asarray(w) > 0))
                 all_preds.append(np.asarray(preds)[:k])
@@ -335,6 +338,8 @@ class Trainer:
             if self.setting.sanity_check:
                 break
         n = loader.num_examples
+        loss_sum = float(np.sum(jax.device_get(losses)))
+        correct_sum = float(np.sum(jax.device_get(corrects)))
         out = (loss_sum / n, correct_sum / n)
         if collect_preds:
             preds = np.concatenate(all_preds) if all_preds else np.zeros(0, np.int64)
