@@ -78,6 +78,17 @@ def main():
     paths = plots.metrics_analysis(table, name_prefix="cinic_r2")
     print("plots:", paths)
 
+    # per-config training curves from the campaign checkpoints
+    from convnets_tpu.train import checkpoint as ckpt
+    for r in records:
+        try:
+            _, meta = ckpt.load_checkpoint(r["checkpoint"])
+            p = plots.performance(meta["epoch_results"],
+                                  name=f"performance_{r['config']}.png")
+            print("curve:", p)
+        except (FileNotFoundError, KeyError) as e:
+            print(f"curve skipped for {r['config']}: {e}")
+
 
 if __name__ == "__main__":
     main()
