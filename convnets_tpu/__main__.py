@@ -37,6 +37,10 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--sanity-check", action="store_true")
     p.add_argument("--debug", action="store_true")
     p.add_argument("--output-dir", default=None)
+    p.add_argument("--device-cache", dest="device_cache", action="store_true",
+                   default=None, help="force the HBM-resident split loader")
+    p.add_argument("--no-device-cache", dest="device_cache",
+                   action="store_false", help="force the host-streaming loader")
 
 
 def _setting(args) -> Settings:
@@ -62,6 +66,7 @@ def _setting(args) -> Settings:
         sanity_check=args.sanity_check or None,
         debug=args.debug or None,
         output_dir=args.output_dir,
+        device_cache=getattr(args, "device_cache", None),
     )
 
 
