@@ -182,6 +182,7 @@ class Settings(HyperParams):
     # by the per-batch example count, which standard SGD lr/wd recipes
     # assume. Reported losses are sum-over-batch ÷ dataset either way.
     DEF_LOSS_REDUCTION = "sum"       # "sum" | "mean"
+    DEF_LABEL_SMOOTHING = 0.0        # ε for smoothed CE (0 = reference CE)
 
     # TPU/SPMD environment defaults (replace the reference's DEF_DEVICE)
     DEF_DEVICE_CACHE = None  # None → auto: keep splits resident in HBM when they fit
@@ -211,6 +212,7 @@ class Settings(HyperParams):
         "lr_warmup_epochs",
         "augment_affine",
         "loss_reduction",
+        "label_smoothing",
     )
 
     def __init__(
@@ -257,6 +259,7 @@ class Settings(HyperParams):
         lr_warmup_epochs=None,
         augment_affine=None,
         loss_reduction=None,
+        label_smoothing=None,
     ):
         super().__init__()
 
@@ -302,6 +305,7 @@ class Settings(HyperParams):
             lr_min=lr_min,
             lr_warmup_epochs=lr_warmup_epochs,
             augment_affine=augment_affine,
+            label_smoothing=label_smoothing,
             loss_reduction=loss_reduction,
         )
         # None → DEF_* default, via the same reflection scheme as the

@@ -126,7 +126,8 @@ class Trainer:
                         stats=None):
         do_affine = bool(getattr(self.setting, "augment_affine", True))
         mean_grad = getattr(self.setting, "loss_reduction", "sum") == "mean"
-        key = (augment, norm, debug, stats, do_affine, mean_grad)
+        smoothing = float(getattr(self.setting, "label_smoothing", 0.0) or 0.0)
+        key = (augment, norm, debug, stats, do_affine, mean_grad, smoothing)
         if key in self._train_step_fns:
             return self._train_step_fns[key]
         norm_kw = {} if stats is None else {
@@ -167,7 +168,8 @@ class Trainer:
                     x, train=True, rng=drop_key,
                 )
                 logits = logits.astype(jnp.float32)
-                loss_sum = ops.cross_entropy_sum(logits, y, w)
+                loss_sum = ops.cross_entropy_sum(logits, y, w,
+                                                 label_smoothing=smoothing)
                 # gradient objective: reference sum-CE, or per-example mean
                 # for standard SGD lr/wd recipes (Settings.loss_reduction)
                 objective = loss_sum

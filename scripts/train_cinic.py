@@ -35,6 +35,7 @@ def main():
     ap.add_argument("--momentum", type=float, default=0.9)
     ap.add_argument("--nesterov", action="store_true")
     ap.add_argument("--dropout", type=float, default=0.0)
+    ap.add_argument("--label-smoothing", type=float, default=0.0)
     ap.add_argument("--affine", action="store_true",
                     help="use the full reference augmentation (affine) too")
     ap.add_argument("--out", default="data/output")
@@ -66,6 +67,7 @@ def main():
         lr_warmup_epochs=args.warmup,
         data_augment=True, augment_affine=bool(args.affine), data_norm=True,
         loss_reduction="mean",  # standard SGD lr/wd scale
+        label_smoothing=args.label_smoothing,
         early_stop=False, loss_optim=False,
         mixed_precision=True, output_dir=args.out,
         sanity_check=bool(args.sanity),
@@ -112,6 +114,7 @@ def main():
             "momentum": args.momentum, "nesterov": args.nesterov,
             "weight_decay": args.wd, "dropout": args.dropout,
             "scheduler": "cosine", "epochs": args.epochs,
+            "label_smoothing": args.label_smoothing,
             "augment": "crop+flip+affine" if args.affine else "crop+flip",
             "mixed_precision": True,
         },

@@ -188,6 +188,18 @@ def test_cross_entropy_sum_matches_torch():
     assert abs(got - ref) < 1e-3
 
 
+def test_cross_entropy_label_smoothing_matches_torch():
+    rng = np.random.RandomState(11)
+    logits = rng.randn(16, 10).astype(np.float32)
+    labels = rng.randint(0, 10, size=16)
+    for eps in (0.05, 0.1, 0.3):
+        ref = F.cross_entropy(torch.from_numpy(logits), torch.from_numpy(labels),
+                              reduction="sum", label_smoothing=eps).item()
+        got = float(ops.cross_entropy_sum(jnp.asarray(logits), jnp.asarray(labels),
+                                          label_smoothing=eps))
+        assert abs(got - ref) < 1e-3, (eps, got, ref)
+
+
 def test_correct_count():
     logits = jnp.asarray([[1.0, 2.0], [3.0, 0.0], [0.0, 1.0]])
     labels = jnp.asarray([1, 0, 0])
