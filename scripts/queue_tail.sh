@@ -1,0 +1,34 @@
+#!/bin/bash
+# Campaign tail (run after the main queue's last config, controller killed):
+# 1. MobileNet-v1 retrain with label smoothing (first pass: 73.92 vs 74.39)
+# 2. idle-chip test-protocol rebench of every RESULT json
+# 3. random-search tuning demo (if time remains before the 06:15 cutoff)
+set -u
+cd "$(dirname "$0")/.."
+LOG=data/output
+DEADLINE=$(date -u -d "2026-08-17 06:15" +%s)
+
+left() { echo $(( DEADLINE - $(date -u +%s) )); }
+
+if [ "$(left)" -gt 3000 ]; then
+  echo "=== tail: mobilenet_v1 r2b $(date -u +%H:%M:%S) ==="
+  python scripts/train_cinic.py --arch mobilenet_v1 --kind standard \
+    --epochs 130 --lr 0.25 --nesterov --label-smoothing 0.1 --tag r2b \
+    --results "$LOG/RESULT-cinic-mobilenet_v1-standard-r2b.json" \
+    > "$LOG/train_mobilenet_v1_standard_r2b.log" 2>&1
+  echo "=== tail: mobilenet r2b rc=$? $(date -u +%H:%M:%S) ==="
+fi
+
+if [ "$(left)" -gt 900 ]; then
+  echo "=== tail: rebench $(date -u +%H:%M:%S) ==="
+  python scripts/rebench_test.py > "$LOG/rebench.log" 2>&1
+  echo "=== tail: rebench rc=$? $(date -u +%H:%M:%S) ==="
+fi
+
+if [ "$(left)" -gt 2400 ]; then
+  echo "=== tail: tune demo $(date -u +%H:%M:%S) ==="
+  python scripts/tune_cinic.py --arch resnet --kind 18 --samples 6 \
+    --epochs 12 > "$LOG/tune_demo.log" 2>&1
+  echo "=== tail: tune rc=$? $(date -u +%H:%M:%S) ==="
+fi
+echo "TAIL_DONE $(date -u +%H:%M:%S)"
