@@ -10,6 +10,15 @@ DEADLINE=$(date -u -d "2026-08-17 06:15" +%s)
 
 left() { echo $(( DEADLINE - $(date -u +%s) )); }
 
+if [ ! -e "$LOG/RESULT-cinic-squeezenet-1.1-r2.json" ] && [ "$(left)" -gt 2400 ]; then
+  echo "=== tail: squeezenet retry $(date -u +%H:%M:%S) ==="
+  python scripts/train_cinic.py --arch squeezenet --kind 1.1 \
+    --epochs 100 --lr 0.1 --dropout 0.5 --tag r2 \
+    --results "$LOG/RESULT-cinic-squeezenet-1.1-r2.json" \
+    > "$LOG/train_squeezenet_1.1_r2.log" 2>&1
+  echo "=== tail: squeezenet rc=$? $(date -u +%H:%M:%S) ==="
+fi
+
 if [ "$(left)" -gt 3000 ]; then
   echo "=== tail: mobilenet_v1 r2b $(date -u +%H:%M:%S) ==="
   python scripts/train_cinic.py --arch mobilenet_v1 --kind standard \
