@@ -10,6 +10,12 @@ DEADLINE=$(date -u -d "2026-08-17 06:15" +%s)
 
 left() { echo $(( DEADLINE - $(date -u +%s) )); }
 
+for p in $(cat /tmp/queue_wait_pids 2>/dev/null); do
+  echo "=== tail: waiting for running job pid $p $(date -u +%H:%M:%S) ==="
+  while kill -0 "$p" 2>/dev/null; do sleep 30; done
+done
+echo "=== tail: chip free $(date -u +%H:%M:%S) ==="
+
 if [ ! -e "$LOG/RESULT-cinic-squeezenet-1.1-r2.json" ] && [ "$(left)" -gt 2400 ]; then
   echo "=== tail: squeezenet retry $(date -u +%H:%M:%S) ==="
   python scripts/train_cinic.py --arch squeezenet --kind 1.1 \
