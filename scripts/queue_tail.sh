@@ -1,8 +1,10 @@
 #!/bin/bash
-# Campaign tail (run after the main queue's last config, controller killed):
-# 1. MobileNet-v1 retrain with label smoothing (first pass: 73.92 vs 74.39)
-# 2. idle-chip test-protocol rebench of every RESULT json
-# 3. random-search tuning demo (if time remains before the 06:15 cutoff)
+# Campaign tail:
+# 1. resume ShuffleNet-g4 for the cosine endgame its wedged run missed
+# 2. SqueezeNet retry (first attempt wedged before epoch 1)
+# 3. MobileNet-v1 retrain with label smoothing (first pass: 73.92 vs 74.39)
+# 4. idle-chip test-protocol rebench of every RESULT json
+# 5. random-search tuning demo (if time remains before the 06:15 cutoff)
 set -u
 cd "$(dirname "$0")/.."
 LOG=data/output
@@ -15,6 +17,16 @@ for p in $(cat /tmp/queue_wait_pids 2>/dev/null); do
   while kill -0 "$p" 2>/dev/null; do sleep 30; done
 done
 echo "=== tail: chip free $(date -u +%H:%M:%S) ==="
+
+if [ ! -e "$LOG/RESULT-cinic-shufflenet_v1-g4-r2.json" ] && [ "$(left)" -gt 1800 ]; then
+  echo "=== tail: shufflenet resume $(date -u +%H:%M:%S) ==="
+  CKPT=$(ls -t "$LOG"/ShuffleNetV1g4-*-best_score.ckpt.npz 2>/dev/null | head -1)
+  [ -n "$CKPT" ] && python scripts/resume_cinic.py --checkpoint "$CKPT" \
+    --arch shufflenet_v1 --epochs-more 15 \
+    --results "$LOG/RESULT-cinic-shufflenet_v1-g4-r2.json" \
+    > "$LOG/train_shufflenet_v1_g4_r2_resume.log" 2>&1
+  echo "=== tail: shufflenet rc=$? $(date -u +%H:%M:%S) ==="
+fi
 
 if [ ! -e "$LOG/RESULT-cinic-squeezenet-1.1-r2.json" ] && [ "$(left)" -gt 2400 ]; then
   echo "=== tail: squeezenet retry $(date -u +%H:%M:%S) ==="
