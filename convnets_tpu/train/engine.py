@@ -127,7 +127,8 @@ class Trainer:
         do_affine = bool(getattr(self.setting, "augment_affine", True))
         mean_grad = getattr(self.setting, "loss_reduction", "sum") == "mean"
         smoothing = float(getattr(self.setting, "label_smoothing", 0.0) or 0.0)
-        key = (augment, norm, debug, stats, do_affine, mean_grad, smoothing)
+        key = (augment, norm, debug, stats, do_affine, mean_grad, smoothing,
+               self.optimizer_name)
         if key in self._train_step_fns:
             return self._train_step_fns[key]
         norm_kw = {} if stats is None else {
@@ -646,6 +647,11 @@ class Trainer:
                     f"no checkpoint for {self.model.model_name} in {self.setting.output_dir}"
                 )
         trees, meta = ckpt.load_checkpoint(path)
+        # the optimizer kind travels with the checkpoint (reference
+        # load_checkpoint restores the optimizer object wholesale,
+        # basemodel.py:935-943) — the restored state must drive the
+        # matching update rule, whatever this Trainer was constructed with
+        self.optimizer_name = meta.get("optimizer", self.optimizer_name)
         opt_state = ckpt.rebuild_opt_state(trees["opt_state"], meta["optimizer"])
         self.state = TrainState(
             params=trees["params"],

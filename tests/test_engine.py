@@ -95,6 +95,27 @@ def test_resume_continues(fitted):
     assert len(r["train_loss"]) == r["total_epochs"]
 
 
+def test_resume_restores_optimizer_kind(tmp_path):
+    """A checkpoint trained with SGD must resume with the SGD update rule
+    even when the resuming Trainer was constructed under the default
+    (adam) optimizer — the kind travels with the checkpoint (regression:
+    adam_update applied to restored SGDState crashed on state.count)."""
+    setting = make_setting(tmp_path, optimizer="sgd", epochs=1)
+    model = build_model("lenet", setting)
+    trainer = Trainer(model)
+    train, valid = make_loaders()
+    trainer.fit(train, valid)
+
+    setting2 = make_setting(tmp_path, epochs=1)  # optimizer defaults to adam
+    model2 = build_model("lenet", setting2)
+    trainer2 = Trainer(model2)
+    assert trainer2.optimizer_name == "adam"
+    trainer2.load_checkpoint(trainer.model_path)
+    assert trainer2.optimizer_name == "sgd"
+    trainer2.fit(train, valid, resume=True)  # crashes without the fix
+    assert np.isfinite(trainer2.epoch_results["train_loss"][-1])
+
+
 def test_evaluate_produces_metrics(fitted):
     trainer, _, _ = fitted
     _, valid = make_loaders()
