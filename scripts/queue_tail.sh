@@ -18,16 +18,6 @@ for p in $(cat /tmp/queue_wait_pids 2>/dev/null); do
 done
 echo "=== tail: chip free $(date -u +%H:%M:%S) ==="
 
-if [ ! -e "$LOG/RESULT-cinic-shufflenet_v1-g4-r2.json" ] && [ "$(left)" -gt 1800 ]; then
-  echo "=== tail: shufflenet resume $(date -u +%H:%M:%S) ==="
-  CKPT=$(ls -t "$LOG"/ShuffleNetV1g4-*-best_score.ckpt.npz 2>/dev/null | head -1)
-  [ -n "$CKPT" ] && python scripts/resume_cinic.py --checkpoint "$CKPT" \
-    --arch shufflenet_v1 --epochs-more 15 \
-    --results "$LOG/RESULT-cinic-shufflenet_v1-g4-r2.json" \
-    > "$LOG/train_shufflenet_v1_g4_r2_resume.log" 2>&1
-  echo "=== tail: shufflenet rc=$? $(date -u +%H:%M:%S) ==="
-fi
-
 if [ ! -e "$LOG/RESULT-cinic-squeezenet-1.1-r2.json" ] && [ "$(left)" -gt 2400 ]; then
   echo "=== tail: squeezenet retry $(date -u +%H:%M:%S) ==="
   python scripts/train_cinic.py --arch squeezenet --kind 1.1 \
@@ -44,6 +34,16 @@ if [ "$(left)" -gt 3000 ]; then
     --results "$LOG/RESULT-cinic-mobilenet_v1-standard-r2b.json" \
     > "$LOG/train_mobilenet_v1_standard_r2b.log" 2>&1
   echo "=== tail: mobilenet r2b rc=$? $(date -u +%H:%M:%S) ==="
+fi
+
+if [ ! -e "$LOG/RESULT-cinic-shufflenet_v1-g4-r2.json" ] && [ "$(left)" -gt 1500 ]; then
+  echo "=== tail: shufflenet resume $(date -u +%H:%M:%S) ==="
+  CKPT=$(ls -t "$LOG"/ShuffleNetV1g4-*-best_score.ckpt.npz 2>/dev/null | head -1)
+  [ -n "$CKPT" ] && python scripts/resume_cinic.py --checkpoint "$CKPT" \
+    --arch shufflenet_v1 --epochs-more 15 \
+    --results "$LOG/RESULT-cinic-shufflenet_v1-g4-r2.json" \
+    > "$LOG/train_shufflenet_v1_g4_r2_resume.log" 2>&1
+  echo "=== tail: shufflenet rc=$? $(date -u +%H:%M:%S) ==="
 fi
 
 if [ "$(left)" -gt 900 ]; then
