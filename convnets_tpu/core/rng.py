@@ -23,6 +23,7 @@ _STREAMS = {
     "augment": 3,
     "tune": 4,
     "bench": 5,
+    "bn_reestimate": 6,
 }
 
 

@@ -132,6 +132,29 @@ def get_last_checkpoint(output_dir: str, model_name: str) -> str | None:
     return best[1] if best else None
 
 
+def average_trees(trees):
+    """Uniform average of same-structure pytrees of arrays (SWA-style tail
+    averaging of the cosine endgame; Izmailov et al. 2018). Integer leaves
+    (e.g. step counters) are taken from the first tree. Averaged BN running
+    stats are NOT meaningful for averaged weights — re-estimate them with
+    Trainer.reestimate_bn afterwards."""
+    if not trees:
+        raise ValueError("average_trees() needs at least one tree")
+    flats = [flatten_tree(t) for t in trees]
+    keys = flats[0].keys()
+    out = {}
+    for k in keys:
+        first = np.asarray(flats[0][k])
+        if np.issubdtype(first.dtype, np.integer):
+            out[k] = first
+        else:
+            acc = np.zeros(first.shape, np.float64)
+            for f in flats:
+                acc += np.asarray(f[k], np.float64)
+            out[k] = (acc / len(flats)).astype(first.dtype)
+    return unflatten_tree(out)
+
+
 def _jsonable(obj: Any):
     if isinstance(obj, dict):
         return {str(k): _jsonable(v) for k, v in obj.items()}
