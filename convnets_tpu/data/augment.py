@@ -118,20 +118,27 @@ def random_resized_crop_batch(key, x, out_hw, *, scale_range=(0.08, 1.0),
     224-class (ImageNet ResNet-50, BASELINE.json config #3) train transform.
 
     torchvision samples crop boxes rejection-style (10 tries then center
-    fall-back); here the box is sampled in closed form — area fraction
-    uniform in scale_range, log-uniform aspect in ratio_range, both clamped
-    to fit the source — which keeps the whole transform inside the jitted
-    step with no per-image Python. x: (N,H,W,C) in [0,1] → (N,*out_hw,C).
+    fall-back); here the box is sampled in closed form — log-uniform aspect
+    in ratio_range, then area uniform over the FEASIBLE range for that
+    aspect (area ≤ min(scale_hi·HW, W²/ratio, H²·ratio)), which keeps the
+    whole transform inside the jitted step with no per-image Python. Joint
+    renormalization preserves the sampled aspect ratio exactly (independent
+    clamping of cw/ch would distort both distributions near scale 1.0 /
+    extreme ratios — r2 ADVICE #4). x: (N,H,W,C) in [0,1] → (N,*out_hw,C).
     """
     n, h, w, _ = x.shape
     oh, ow = out_hw
     k1, k2, k3, k4, k5 = jax.random.split(key, 5)
-    area = jax.random.uniform(k1, (n,), minval=scale_range[0],
-                              maxval=scale_range[1]) * (h * w)
     log_r = jax.random.uniform(
         k2, (n,), minval=math.log(ratio_range[0]),
         maxval=math.log(ratio_range[1]))
     ratio = jnp.exp(log_r)  # crop_w / crop_h
+    hw = float(h * w)
+    max_area = jnp.minimum(jnp.minimum(scale_range[1] * hw, (w * w) / ratio),
+                           (h * h) * ratio)
+    min_area = jnp.minimum(scale_range[0] * hw, max_area)
+    u = jax.random.uniform(k1, (n,))
+    area = min_area + u * (max_area - min_area)
     cw = jnp.minimum(jnp.sqrt(area * ratio), float(w))
     ch = jnp.minimum(jnp.sqrt(area / ratio), float(h))
     x_off = jax.random.uniform(k3, (n,)) * (w - cw)

@@ -13,6 +13,7 @@ test data, pre-decoded caches).
 from __future__ import annotations
 
 import os
+import threading
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -160,6 +161,9 @@ class ImageFolderDataset(Dataset):
             # per-image "decoded" flags; rows are written by at most one decode
             # worker per epoch (disjoint batch indices), so no lock is needed
             self._cached = np.zeros(len(self._paths), bool) if cache else None
+        # persistence, however, can be reached by several decode workers
+        # finishing their last batches concurrently — serialize it
+        self._persist_lock = threading.Lock()
 
     def __len__(self):
         return len(self._paths)
@@ -193,18 +197,22 @@ class ImageFolderDataset(Dataset):
         (atomic tmp+rename so concurrent readers never see a torn file)."""
         if self._disk_cache_path is None or not self._cached.all():
             return
-        if self._cache.nbytes < self.MIN_PERSIST_BYTES:
+        with self._persist_lock:
+            # re-check under the lock: another decode thread may have
+            # claimed (and cleared) the path while we waited
+            path = self._disk_cache_path
+            if path is None:
+                return
             self._disk_cache_path = None
-            return
-        path = self._disk_cache_path
-        self._disk_cache_path = None
-        try:
-            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-            tmp = f"{path}.{os.getpid()}.tmp.npy"
-            np.save(tmp, self._cache)
-            os.replace(tmp, path)
-        except OSError:
-            pass  # cache persistence is best-effort
+            if self._cache.nbytes < self.MIN_PERSIST_BYTES:
+                return
+            try:
+                os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+                tmp = f"{path}.{os.getpid()}.{threading.get_ident()}.tmp.npy"
+                np.save(tmp, self._cache)
+                os.replace(tmp, path)
+            except OSError:
+                pass  # cache persistence is best-effort
 
     def all_labels(self):
         return self.labels

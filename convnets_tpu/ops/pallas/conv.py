@@ -154,6 +154,173 @@ def _pick_batch_tile(n: int, ihp: int, iwp: int, cin: int, cout: int,
     return 1
 
 
+def _pick_slab_tiles(n: int, oh: int, ow: int, kh: int, iwp: int, cin: int,
+                     cout: int, itemsize: int, fudge: float = 2.0):
+    """(bt, th) for the OH-slab-tiled kernel: batch tile × OH rows per
+    program, full width and full Cout (weights + stats stay VMEM-resident
+    across the whole grid). Maximizes the implicit-GEMM row count bt·th·OW
+    under the VMEM budget; returns None when even (1, 1) does not fit."""
+    budget = 12 * 1024 * 1024
+    w_bytes = 0  # weights use their own resident block; counted via fudge
+    best = None
+    for bt in [d for d in range(1, min(n, 32) + 1) if n % d == 0]:
+        for th in [d for d in range(1, oh + 1) if oh % d == 0]:
+            slab = bt * (th + kh - 1) * iwp * cin * itemsize
+            out = bt * th * ow * cout * (itemsize + 4)
+            if (slab + out + w_bytes) * fudge > budget:
+                continue
+            key = (bt * th, th)  # rows first, then fewer slab overlaps
+            if best is None or key > best[0]:
+                best = (key, (bt, th))
+    return None if best is None else best[1]
+
+
+def _make_slabs(x, th, kh):
+    """(N, Hp, Wp, C) → (N, nt, th+kh-1, Wp, C): overlapping stride-1 OH
+    slabs, materialized once at the XLA level (overlap cost (kh-1)/th of
+    one extra read of x — the price of expressing halos with disjoint
+    Pallas blocks instead of manual DMA)."""
+    n, hp, wp, c = x.shape
+    rows_per = th + kh - 1
+    nt = (hp - (kh - 1)) // th
+    idx = (jnp.arange(nt)[:, None] * th + jnp.arange(rows_per)[None, :]).reshape(-1)
+    xs = jnp.take(x, idx, axis=1)
+    return xs.reshape(n, nt, rows_per, wp, c)
+
+
+def _conv_tiled_kernel(x_ref, w_ref, scale_ref, shift_ref, out_ref, acc_ref,
+                       *, kh, kw, th, ow, relu, epilogue):
+    """One (batch, OH-slab) tile of the stride-1 implicit GEMM.
+
+    x_ref:   (BT, 1, th+kh-1, IWp, Cin) input slab in VMEM
+    w_ref:   (kh·kw, Cin, Cout) resident across the grid
+    out_ref: (BT, th, OW, Cout)
+    acc_ref: (BT·th·OW, Cout) fp32 scratch
+    """
+    bt = x_ref.shape[0]
+    cin = x_ref.shape[4]
+    cout = out_ref.shape[3]
+
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    xv = x_ref[:, 0]
+    for i in range(kh):
+        for j in range(kw):
+            win = lax.slice(xv, (0, i, j, 0), (bt, i + th, j + ow, cin))
+            acc_ref[:] += jnp.dot(
+                win.reshape(bt * th * ow, cin), w_ref[i * kw + j],
+                preferred_element_type=jnp.float32,
+            )
+
+    y = acc_ref[:]
+    if epilogue:
+        y = y * scale_ref[0] + shift_ref[0]
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    out_ref[:] = y.reshape(bt, th, ow, cout).astype(out_ref.dtype)
+
+
+def _conv_tiled_stats_kernel(x_ref, w_ref, out_ref, stats_ref, acc_ref,
+                             *, kh, kw, th, ow):
+    """Tiled conv + per-channel Σy/Σy² accumulated across the whole grid
+    (constant-index stats block: visited consecutively in every step, so
+    it stays resident in VMEM — same pattern as _conv_stats_kernel)."""
+    bt = x_ref.shape[0]
+    cin = x_ref.shape[4]
+    cout = out_ref.shape[3]
+
+    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _init():
+        stats_ref[:] = jnp.zeros_like(stats_ref)
+
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    xv = x_ref[:, 0]
+    for i in range(kh):
+        for j in range(kw):
+            win = lax.slice(xv, (0, i, j, 0), (bt, i + th, j + ow, cin))
+            acc_ref[:] += jnp.dot(
+                win.reshape(bt * th * ow, cin), w_ref[i * kw + j],
+                preferred_element_type=jnp.float32,
+            )
+
+    y = acc_ref[:]
+    ys = y.astype(out_ref.dtype).astype(jnp.float32)
+    stats_ref[0, :] += jnp.sum(ys, axis=0)
+    stats_ref[1, :] += jnp.sum(ys * ys, axis=0)
+    out_ref[:] = y.reshape(bt, th, ow, cout).astype(out_ref.dtype)
+
+
+def _conv2d_tiled(x_padded, wt, ones, zeros, *, kh, kw, oh, ow, bt, th,
+                  relu, epilogue, stats, interpret):
+    """Launch the OH-slab-tiled kernel (stride 1; stride 2 arrives here
+    post space-to-depth). x_padded: (N, need_h, need_w, Cin); wt:
+    (kh·kw, Cin, Cout). Returns y or (y, sums, sumsq) when stats."""
+    n, _, iwp, cin = x_padded.shape
+    cout = wt.shape[2]
+    xs = _make_slabs(x_padded, th, kh)
+    nt = xs.shape[1]
+    grid = (n // bt, nt)
+    rows_per = th + kh - 1
+    flops = 2 * n * oh * ow * cin * cout * kh * kw
+    cost = pl.CostEstimate(
+        flops=flops,
+        bytes_accessed=xs.size * xs.dtype.itemsize
+        + wt.size * wt.dtype.itemsize
+        + n * oh * ow * cout * xs.dtype.itemsize,
+        transcendentals=0,
+    )
+    x_spec = pl.BlockSpec((bt, 1, rows_per, iwp, cin),
+                          lambda i, t: (i, t, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((kh * kw, cin, cout), lambda i, t: (0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((bt, th, ow, cout), lambda i, t: (i, t, 0, 0),
+                            memory_space=pltpu.VMEM)
+    scratch = [pltpu.VMEM((bt * th * ow, cout), jnp.float32)]
+
+    if stats:
+        kernel = functools.partial(_conv_tiled_stats_kernel, kh=kh, kw=kw,
+                                   th=th, ow=ow)
+        y, st = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[x_spec, w_spec],
+            out_specs=[
+                out_spec,
+                pl.BlockSpec((2, cout), lambda i, t: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((n, oh, ow, cout), x_padded.dtype),
+                jax.ShapeDtypeStruct((2, cout), jnp.float32),
+            ],
+            scratch_shapes=scratch,
+            cost_estimate=cost,
+            interpret=interpret,
+        )(xs, wt)
+        return y, st[0], st[1]
+
+    kernel = functools.partial(_conv_tiled_kernel, kh=kh, kw=kw, th=th,
+                               ow=ow, relu=relu, epilogue=epilogue)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            x_spec, w_spec,
+            pl.BlockSpec((1, cout), lambda i, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), lambda i, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((n, oh, ow, cout), x_padded.dtype),
+        scratch_shapes=scratch,
+        cost_estimate=cost,
+        interpret=interpret,
+    )(xs, wt, ones, zeros)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("stride", "padding", "relu", "interpret"),
@@ -203,9 +370,19 @@ def conv2d_fused(
                   + oh * ow * cout * (x.dtype.itemsize + 4))
     if bt == 1 and per_sample * 2 > 12 * 1024 * 1024:
         # a single sample overflows VMEM (large-spatial ImageNet-class
-        # shapes): XLA's conv is strongest exactly there, so fall back on
-        # the un-padded input — the epilogue still fuses via XLA's
-        # pointwise fusion
+        # shapes): tile the OH axis so the kernel still runs in-VMEM at
+        # 224-class shapes (r2 fell back to XLA for ALL of these)
+        tiles = _pick_slab_tiles(n, oh, ow, kh, need_w, cin, cout,
+                                 x.dtype.itemsize)
+        if tiles is not None:
+            xp = _pad_to_extent(x, ph, pw, need_h, need_w)
+            return _conv2d_tiled(
+                xp, w.reshape(kh * kw, cin, cout).astype(x.dtype),
+                ones, zeros, kh=kh, kw=kw, oh=oh, ow=ow, bt=tiles[0],
+                th=tiles[1], relu=relu, epilogue=epilogue, stats=False,
+                interpret=interpret)
+        # nothing fits even one row at a time: XLA fallback — the
+        # epilogue still fuses via XLA's pointwise fusion
         from convnets_tpu.ops.conv import conv2d as lax_conv2d
 
         y = lax_conv2d(x, w.astype(x.dtype), stride=(sh, sw), padding=(ph, pw))
@@ -318,6 +495,15 @@ def conv2d_stats(x, w, *, stride=1, padding=0, interpret=False):
     per_sample = (ihp * iwp * cin * x.dtype.itemsize
                   + oh * ow * cout * (x.dtype.itemsize + 4))
     if bt == 1 and per_sample * 2 > 12 * 1024 * 1024:
+        tiles = _pick_slab_tiles(n, oh, ow, kh, need_w, cin, cout,
+                                 x.dtype.itemsize)
+        if tiles is not None:
+            xp = _pad_to_extent(x, ph, pw, need_h, need_w)
+            return _conv2d_tiled(
+                xp, w.reshape(kh * kw, cin, cout).astype(x.dtype),
+                None, None, kh=kh, kw=kw, oh=oh, ow=ow, bt=tiles[0],
+                th=tiles[1], relu=False, epilogue=False, stats=True,
+                interpret=interpret)
         from convnets_tpu.ops.conv import conv2d as lax_conv2d
 
         y = lax_conv2d(x, w.astype(x.dtype), stride=(sh, sw), padding=(ph, pw))

@@ -78,7 +78,11 @@ def _fused_bwd(stride, padding, groups, eps, relu, interpret, res, cts):
 
     xhat = (y - mean.astype(cd)) * inv.astype(cd)
     if relu:
-        z = xhat * scale.astype(cd) + bias.astype(cd)
+        # recompute z through the SAME _apply_norm path the forward used:
+        # the bf16 fold has different last-ulp rounding than
+        # xhat·scale+bias, and a mask flipped at z≈0 would route gradient
+        # inconsistently with the forward activation
+        z = _apply_norm(y, mean, inv, scale, bias).astype(cd)
         dz = jnp.where(z > 0, g, jnp.zeros_like(g)).astype(cd)
     else:
         dz = g.astype(cd)

@@ -59,14 +59,19 @@ def get_models_scores(
     # basemodel.py:892-915 — same rule as checkpoint.get_last_checkpoint,
     # applied across every model in the directory)
     pat = re.compile(r"^(.+)-(\d+)-(\w+)" + re.escape(ckpt.EXT) + "$")
+    # version ties across checkpoint kinds resolve by explicit preference
+    # (best > tuned > last), not os.listdir enumeration order
+    kind_rank = {ckpt.SUFFIX_BEST_SCORE: 3, ckpt.SUFFIX_BEST_LOSS: 3,
+                 ckpt.SUFFIX_TUNED: 2}
     latest: Dict[str, tuple] = {}
     if os.path.isdir(output_dir):
         for fname in os.listdir(output_dir):
             m = pat.match(fname)
             if m:
-                name, version = m.group(1), int(m.group(2))
-                if name not in latest or version > latest[name][0]:
-                    latest[name] = (version, os.path.join(output_dir, fname))
+                name, version, kind = m.group(1), int(m.group(2)), m.group(3)
+                key = (version, kind_rank.get(kind, 1))
+                if name not in latest or key > latest[name][0]:
+                    latest[name] = (key, os.path.join(output_dir, fname))
 
     wanted = set(archs or available_models())
     scores: Dict[str, List[float]] = {}
