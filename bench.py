@@ -26,7 +26,8 @@ import jax.numpy as jnp
 TARGET_IMG_PER_SEC = 14400.0  # 90% of v5e speed-of-light for RN50 train
 
 
-def measure(batch: int, image: int, kind: str, warmup: int = 5, steps: int = 20):
+def measure(batch: int, image: int, kind: str, warmup: int = 5, steps: int = 20,
+            arch: str = "resnet"):
     from convnets_tpu.models import build_model
     from convnets_tpu.settings import Settings
     from convnets_tpu.train.engine import Trainer
@@ -36,7 +37,7 @@ def measure(batch: int, image: int, kind: str, warmup: int = 5, steps: int = 20)
         batch_size=batch, mixed_precision=True, data_augment=False,
         data_norm=False, dropout_rate=0.5, weight_decay=1e-4,
     )
-    model = build_model("resnet", setting)
+    model = build_model(arch, setting)
     trainer = Trainer(model)
     trainer.init_state()
     step_fn = trainer._get_train_step(augment=False, norm=False)
@@ -146,13 +147,32 @@ def main():
         }))
         sys.exit(0)
 
-    print(json.dumps({
+    record = {
         "metric": "images_per_sec_per_chip_resnet50_train"
         if on_tpu else "images_per_sec_cpu_smoke_resnet18_train",
         "value": round(value, 2),
         "unit": "img/s",
         "vs_baseline": round(value / TARGET_IMG_PER_SEC, 4) if on_tpu else 0.0,
-    }))
+    }
+
+    if on_tpu and "--no-stress" not in sys.argv:
+        # secondary 224-shape stress benches (BASELINE configs #4/#5:
+        # depthwise MobileNet-v1 and concat-heavy DenseNet-121); failures
+        # here must never cost the primary metric
+        secondary = {}
+        for arch, kind, name in (("mobilenet_v1", "standard", "mobilenet_v1"),
+                                 ("densenet", "121", "densenet121")):
+            for b in (256, 128, 64):
+                try:
+                    secondary[f"{name}_224_train_img_s"] = round(
+                        measure(b, 224, kind, arch=arch), 2)
+                    secondary[f"{name}_224_batch"] = b
+                    break
+                except Exception as e:
+                    secondary[f"{name}_224_error"] = str(e)[:120]
+        record["secondary"] = secondary
+
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
