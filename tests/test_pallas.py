@@ -269,3 +269,73 @@ def test_pool_large_spatial_falls_back():
     got = max_pool2d(x, 3, 2, 1)
     want = ops.max_pool2d(x, 3, 2, 1)
     np.testing.assert_allclose(got, want, rtol=RTOL, atol=ATOL)
+
+
+# ---------------------------------------------------------------- OH tiling
+
+def test_tiled_conv_matches_lax():
+    """Direct slab-tiled launch (grid over batch × OH slabs) vs the oracle."""
+    from convnets_tpu.ops.pallas import conv as pconv
+
+    x = rand(10, (4, 14, 14, 8))
+    w = rand(11, (3, 3, 8, 16)) * 0.1
+    xp = pconv._pad_to_extent(x, 1, 1, 16, 16)
+    got = pconv._conv2d_tiled(
+        xp, jnp.reshape(w, (9, 8, 16)),
+        jnp.ones((1, 16), jnp.float32), jnp.zeros((1, 16), jnp.float32),
+        kh=3, kw=3, oh=14, ow=14, bt=2, th=7, relu=False, epilogue=False,
+        stats=False, interpret=True)
+    want = ops.conv2d(x, w, stride=1, padding=1)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_tiled_conv_stats_matches_lax():
+    from convnets_tpu.ops.pallas import conv as pconv
+
+    x = rand(12, (2, 8, 8, 4))
+    w = rand(13, (3, 3, 4, 8)) * 0.1
+    xp = pconv._pad_to_extent(x, 1, 1, 10, 10)
+    y, s1, s2 = pconv._conv2d_tiled(
+        xp, jnp.reshape(w, (9, 4, 8)), None, None,
+        kh=3, kw=3, oh=8, ow=8, bt=1, th=4, relu=False, epilogue=False,
+        stats=True, interpret=True)
+    want = ops.conv2d(x, w, stride=1, padding=1)
+    wf = np.asarray(want, np.float32)
+    np.testing.assert_allclose(y, want, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(s1, wf.sum((0, 1, 2)), rtol=1e-4)
+    np.testing.assert_allclose(s2, (wf * wf).sum((0, 1, 2)), rtol=1e-4)
+
+
+def test_large_spatial_dispatches_to_tiled():
+    """A 112×112×64 f32 sample overflows the whole-sample VMEM budget; the
+    public entry points must now route to the tiled kernel (r2 fell back
+    to XLA for every such shape) and still match the oracle."""
+    from convnets_tpu.ops.pallas import conv as pconv
+
+    x = rand(20, (2, 112, 112, 64)) * 0.1
+    w = rand(21, (3, 3, 64, 64)) * 0.05
+    assert pconv._pick_slab_tiles(2, 112, 112, 3, 114, 64, 64, 4) is not None
+    got = conv2d_fused(x, w, stride=1, padding=1, interpret=True)
+    want = ops.conv2d(x, w, stride=1, padding=1)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_tiled_slab_picker_covers_rn50_shapes():
+    """Every distinct RN50@224 conv shape (post space-to-depth for the
+    stride-2 ones) must be expressible: whole-sample fit OR slab tiling
+    (i.e. the kernels never bail to XLA at the flagship shapes)."""
+    from convnets_tpu.ops.pallas import conv as pconv
+
+    shapes = [  # (H_in_effective, kh, IWp, Cin, Cout) seen by the kernel
+        (112, 4, 115, 12, 64),     # stem 7x7/2 after s2d
+        (56, 1, 56, 64, 64), (56, 3, 58, 64, 64), (56, 1, 56, 64, 256),
+        (56, 1, 56, 256, 128), (28, 2, 58, 512, 128),  # 3x3/2 s2d
+        (28, 1, 28, 512, 128), (28, 3, 30, 128, 128),
+        (14, 2, 30, 1024, 256), (14, 1, 14, 1024, 256), (14, 3, 16, 256, 256),
+        (7, 2, 16, 2048, 512), (7, 1, 7, 2048, 512), (7, 3, 9, 512, 512),
+        (7, 1, 7, 512, 2048),
+    ]
+    for oh, kh, iwp, cin, cout in shapes:
+        tiles = pconv._pick_slab_tiles(256, oh, iwp - kh + 1, kh, iwp, cin,
+                                       cout, 2)
+        assert tiles is not None, (oh, kh, iwp, cin, cout)
