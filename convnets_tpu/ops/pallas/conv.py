@@ -155,7 +155,8 @@ def _pick_batch_tile(n: int, ihp: int, iwp: int, cin: int, cout: int,
 
 
 def _pick_slab_tiles(n: int, oh: int, ow: int, kh: int, iwp: int, cin: int,
-                     cout: int, itemsize: int, fudge: float = 2.0):
+                     cout: int, itemsize: int, fudge: float = 2.0,
+                     sh: int = 1):
     """(bt, th) for the OH-slab-tiled kernel: batch tile × OH rows per
     program, full width and full Cout (weights + stats stay VMEM-resident
     across the whole grid). Maximizes the implicit-GEMM row count bt·th·OW
@@ -165,7 +166,7 @@ def _pick_slab_tiles(n: int, oh: int, ow: int, kh: int, iwp: int, cin: int,
     best = None
     for bt in [d for d in range(1, min(n, 32) + 1) if n % d == 0]:
         for th in [d for d in range(1, oh + 1) if oh % d == 0]:
-            slab = bt * (th + kh - 1) * iwp * cin * itemsize
+            slab = bt * (th * sh + kh - 1) * iwp * cin * itemsize
             out = bt * th * ow * cout * (itemsize + 4)
             if (slab + out + w_bytes) * fudge > budget:
                 continue
@@ -175,15 +176,19 @@ def _pick_slab_tiles(n: int, oh: int, ow: int, kh: int, iwp: int, cin: int,
     return None if best is None else best[1]
 
 
-def _make_slabs(x, th, kh):
-    """(N, Hp, Wp, C) → (N, nt, th+kh-1, Wp, C): overlapping stride-1 OH
-    slabs, materialized once at the XLA level (overlap cost (kh-1)/th of
-    one extra read of x — the price of expressing halos with disjoint
-    Pallas blocks instead of manual DMA)."""
+def _make_slabs(x, th, kh, sh: int = 1):
+    """(N, Hp, Wp, C) → (N, nt, th·sh+kh-1, Wp, C): overlapping OH slabs
+    (output-row tiles of th, input extent per tile th·sh+kh-1),
+    materialized once at the XLA level (overlap cost ≈(kh-sh)/th of one
+    extra read of x — the price of expressing halos with disjoint Pallas
+    blocks instead of manual DMA)."""
     n, hp, wp, c = x.shape
-    rows_per = th + kh - 1
-    nt = (hp - (kh - 1)) // th
-    idx = (jnp.arange(nt)[:, None] * th + jnp.arange(rows_per)[None, :]).reshape(-1)
+    # th·sh + kh - 1 rows per slab: (th-1)·sh + kh needed by the taps plus
+    # sh-1 slack rows for the reshape-based strided windowing
+    rows_per = th * sh + kh - 1
+    nt = (hp - (kh - 1)) // (th * sh)
+    idx = (jnp.arange(nt)[:, None] * (th * sh)
+           + jnp.arange(rows_per)[None, :]).reshape(-1)
     xs = jnp.take(x, idx, axis=1)
     return xs.reshape(n, nt, rows_per, wp, c)
 
@@ -643,6 +648,19 @@ def _depthwise_train_bwd(stride, padding, interpret, res, g):
 depthwise_train.defvjp(_depthwise_train_fwd, _depthwise_train_bwd)
 
 
+def _dw_tiled_kernel(x_ref, w_ref, out_ref, *, kh, kw, sh, sw, th, ow):
+    """Depthwise conv over one (batch, OH-slab) tile — the VPU analogue of
+    _conv_tiled_kernel for 224-class depthwise stacks (MobileNet stress
+    config, BASELINE #4) whose whole-sample tiles overflow VMEM."""
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+    xv = x_ref[:, 0]
+    for i in range(kh):
+        for j in range(kw):
+            win = _strided_window(xv, i, j, th, ow, sh, sw)
+            acc = acc + win.astype(jnp.float32) * w_ref[i * kw + j, 0].astype(jnp.float32)
+    out_ref[:] = acc.astype(out_ref.dtype)
+
+
 def _dw_kernel(x_ref, w_ref, out_ref, *, kh, kw, sh, sw, oh, ow):
     """Depthwise conv batch-tile: pure VPU multiply-accumulate.
 
@@ -686,6 +704,40 @@ def depthwise_conv2d(
 
     wt = w.reshape(kh * kw, 1, c).astype(x.dtype)
     bt = _pick_batch_tile(n, need_h, need_w, c, c, oh, ow, x.dtype.itemsize, fudge=4.0)
+    per_sample = (need_h * need_w * c * x.dtype.itemsize
+                  + oh * ow * c * (x.dtype.itemsize + 4))
+    if bt == 1 and per_sample * 4 > 12 * 1024 * 1024:
+        # whole sample overflows VMEM (224-class depthwise stacks): tile OH
+        tiles = _pick_slab_tiles(n, oh, ow, kh, need_w, c, c,
+                                 x.dtype.itemsize, fudge=4.0, sh=sh)
+        if tiles is None:
+            from convnets_tpu.ops.conv import conv2d_depthwise as lax_dw
+
+            return lax_dw(x[:, : (oh - 1) * sh + kh, : (ow - 1) * sw + kw],
+                          w.astype(x.dtype), stride=(sh, sw), padding=0)
+        btt, th = tiles
+        xs = _make_slabs(x, th, kh, sh=sh)
+        nt = xs.shape[1]
+        rows_per = th * sh + kh - 1
+        kernel = functools.partial(_dw_tiled_kernel, kh=kh, kw=kw, sh=sh,
+                                   sw=sw, th=th, ow=ow)
+        return pl.pallas_call(
+            kernel,
+            grid=(n // btt, nt),
+            in_specs=[
+                pl.BlockSpec((btt, 1, rows_per, need_w, c),
+                             lambda i, t: (i, t, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((kh * kw, 1, c), lambda i, t: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((btt, th, ow, c),
+                                   lambda i, t: (i, t, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n, oh, ow, c), x.dtype),
+            interpret=interpret,
+        )(xs, wt)
+
     kernel = functools.partial(_dw_kernel, kh=kh, kw=kw, sh=sh, sw=sw,
                                oh=oh, ow=ow)
     return pl.pallas_call(

@@ -339,3 +339,16 @@ def test_tiled_slab_picker_covers_rn50_shapes():
         tiles = pconv._pick_slab_tiles(256, oh, iwp - kh + 1, kh, iwp, cin,
                                        cout, 2)
         assert tiles is not None, (oh, kh, iwp, cin, cout)
+
+
+@pytest.mark.parametrize("h,c,stride", [(112, 64, 1), (112, 128, 2)])
+def test_depthwise_large_spatial_tiled(h, c, stride):
+    """224-class depthwise shapes (MobileNet stress config) overflow the
+    whole-sample VMEM budget and must route through the OH-slab tiling."""
+    from convnets_tpu.ops.pallas import conv as pconv
+
+    x = rand(30, (2, h, h, c)) * 0.1
+    w = rand(31, (3, 3, 1, c)) * 0.1
+    got = pconv.depthwise_conv2d(x, w, stride=stride, padding=1, interpret=True)
+    want = ops.conv2d_depthwise(x, w, stride=stride, padding=1)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
