@@ -47,11 +47,11 @@ def main():
             "reference_top1_pct": ref_top1,
             "parity": (None if ref_top1 is None
                        else bool(r["test_top1_pct"] >= ref_top1)),
-            "test_throughput_img_s": r["test_throughput_img_s"],
-            "train_time_min": r["train_time_min"],
-            "epochs": r["epochs_ran"],
-            "hparams": r["hparams"],
-            "checkpoint": r["checkpoint"],
+            "test_throughput_img_s": r.get("test_throughput_img_s"),
+            "train_time_min": r.get("train_time_min"),
+            "epochs": r.get("epochs_ran", r.get("hparams", {}).get("epochs")),
+            "hparams": r.get("hparams", {}),
+            "checkpoint": r.get("checkpoint"),
         })
     out = {"dataset": "CINIC-10", "runs": rows}
     with open("RESULTS_CINIC.json", "w") as f:
@@ -75,8 +75,8 @@ def main():
             best_by_row[name] = r
     for name, r in best_by_row.items():
         table = merge_measurements(table, name + " (tpu)", {
-            "Throughput": r["test_throughput_img_s"],
-            "Training Time": r["train_time_min"],
+            "Throughput": r.get("test_throughput_img_s"),
+            "Training Time": r.get("train_time_min"),
             "Accuracy": r["test_top1_pct"],
         })
     os.makedirs("data/output/plots", exist_ok=True)
