@@ -78,20 +78,26 @@ class Conv2d(Module):
         if pallas.enabled():
             # route through the Mosaic kernel library when the call fits an
             # implemented envelope (dense or depthwise); fall through to the
-            # lax path otherwise
-            if pallas.fits_conv(self.stride, self.dilation, self.groups):
+            # lax path otherwise. mode "auto" additionally consults the
+            # measured per-shape A/B table (ops/pallas/routing.py)
+            if (pallas.fits_conv(self.stride, self.dilation, self.groups)
+                    and pallas.route_conv(x.shape[1], x.shape[-1],
+                                          self.out_channels, self.kernel[0],
+                                          self.stride, train)):
                 y = pallas.conv2d_train(x, w, self.stride, self.padding)
                 if b is not None:
                     y = y + b.astype(y.dtype)
                 return y, {}
-            if pallas.fits_depthwise(x.shape[-1], self.out_channels,
-                                     self.dilation, self.groups):
+            if pallas.route_aux() and pallas.fits_depthwise(
+                    x.shape[-1], self.out_channels,
+                    self.dilation, self.groups):
                 y = pallas.depthwise_train(x, w, self.stride, self.padding)
                 if b is not None:
                     y = y + b.astype(y.dtype)
                 return y, {}
-            if pallas.fits_grouped(x.shape[-1], self.out_channels,
-                                   self.stride, self.dilation, self.groups):
+            if pallas.route_aux() and pallas.fits_grouped(
+                    x.shape[-1], self.out_channels,
+                    self.stride, self.dilation, self.groups):
                 y = pallas.grouped_conv2d_train(x, w, self.groups,
                                                 self.stride, self.padding)
                 if b is not None:
@@ -235,7 +241,7 @@ class MaxPool2d(Module):
     def apply(self, variables, x, *, train=False, rng=None):
         from convnets_tpu.ops import pallas
 
-        if pallas.enabled():
+        if pallas.enabled() and pallas.route_aux():
             if train:
                 # Pallas forward + XLA max-routing backward (custom VJP)
                 return pallas.pool2d_train(x, "max", self.kernel, self.stride,
@@ -258,7 +264,7 @@ class AvgPool2d(Module):
     def apply(self, variables, x, *, train=False, rng=None):
         from convnets_tpu.ops import pallas
 
-        if pallas.enabled():
+        if pallas.enabled() and pallas.route_aux():
             if train:
                 return pallas.pool2d_train(x, "avg", self.kernel, self.stride,
                                            self.padding), {}
@@ -519,7 +525,11 @@ class ConvBNReLU(Sequential):
     def apply(self, variables, x, *, train=False, rng=None):
         from convnets_tpu.ops import pallas
 
-        if not (pallas.enabled() and self._fits(x.shape[-1])):
+        if not (pallas.enabled() and self._fits(x.shape[-1])
+                and pallas.route_conv(x.shape[1], x.shape[-1],
+                                      self._conv.out_channels,
+                                      self._conv.kernel[0],
+                                      self._conv.stride, train)):
             return super().apply(variables, x, train=train, rng=rng)
 
         c, bn = self._conv, self._bn

@@ -31,7 +31,8 @@ __all__ = [
     "conv_bn_relu_train", "depthwise_conv2d", "depthwise_train",
     "grouped_conv2d_train", "max_pool2d", "avg_pool2d", "pool2d_train",
     "available",
-    "enabled", "fits_conv", "fits_depthwise", "fits_grouped",
+    "enabled", "mode", "route_conv", "route_aux",
+    "fits_conv", "fits_depthwise", "fits_grouped",
 ]
 
 
@@ -43,13 +44,37 @@ def available() -> bool:
         return False
 
 
+def mode() -> str:
+    """CONVNETS_TPU_PALLAS: "0" (off, default), "1" (all fitting shapes),
+    "auto" (only shapes the on-chip A/B adjudicated as Pallas wins —
+    ops/pallas/routing.py)."""
+    return os.environ.get("CONVNETS_TPU_PALLAS", "0")
+
+
 def enabled() -> bool:
     """Opt-in AND single-device only: pallas_call has no GSPMD partitioning
     rule, so under a multi-chip sharded step it would force replication (or
     fail to partition). Multi-chip Pallas needs shard_map integration —
     future work; the lax path is used there."""
-    return (available() and jax.device_count() == 1
-            and os.environ.get("CONVNETS_TPU_PALLAS", "0") == "1")
+    return available() and jax.device_count() == 1 and mode() in ("1", "auto")
+
+
+def route_conv(h: int, cin: int, cout: int, k: int, stride, train: bool) -> bool:
+    """Shape-level adjudication for the dense conv(+BN) kernels: always
+    True in mode "1"; in "auto", only the measured win shapes
+    (routing.TRAIN_WINS / EVAL_WINS) leave XLA."""
+    if mode() != "auto":
+        return True
+    from convnets_tpu.ops.pallas import routing
+
+    sh, _ = to_pair(stride)
+    return routing.prefer(h, cin, cout, k, sh, train)
+
+
+def route_aux() -> bool:
+    """Depthwise/grouped/pool kernels have no per-shape A/B table yet:
+    they ride only in mode "1" (explicit opt-in), never in "auto"."""
+    return mode() == "1"
 
 
 def fits_conv(stride, dilation, groups: int) -> bool:

@@ -154,6 +154,17 @@ def _pick_batch_tile(n: int, ihp: int, iwp: int, cin: int, cout: int,
     return 1
 
 
+def _whole_sample_ok(oh: int, ow: int, cin: int, bt: int,
+                     per_sample: int) -> bool:
+    """Keep the whole-sample (4D) kernel only inside its r2-proven regime:
+    CINIC-class spatial (≤32×32) at moderate width. Outside it the Mosaic
+    compile is empirically fragile (e.g. 56×56×64 bt=2 and the post-s2d
+    14×14×1024 bt=8 both abort the compiler) — those route through the
+    slab-tiled launch, whose picker budgets the per-tap windows in full."""
+    return (oh * ow <= 1024 and cin <= 512
+            and not (bt == 1 and per_sample * 2 > 12 * 1024 * 1024))
+
+
 def _pick_slab_tiles(n: int, oh: int, ow: int, kh: int, iwp: int, cin: int,
                      cout: int, itemsize: int, fudge: float = 2.0,
                      sh: int = 1):
@@ -161,16 +172,29 @@ def _pick_slab_tiles(n: int, oh: int, ow: int, kh: int, iwp: int, cin: int,
     program, full width and full Cout (weights + stats stay VMEM-resident
     across the whole grid). Maximizes the implicit-GEMM row count bt·th·OW
     under the VMEM budget; returns None when even (1, 1) does not fit."""
-    budget = 12 * 1024 * 1024
-    w_bytes = 0  # weights use their own resident block; counted via fudge
+    # budget measured against Mosaic's 16 MB scoped VMEM: the per-tap
+    # window temporaries all stay live (empirically — at 56×56×64 a
+    # config with 6.5 MB of windows compiles and one with 13 MB aborts
+    # the compiler), so they are counted in full
+    del fudge
+    budget = 8 * 1024 * 1024
     best = None
-    for bt in [d for d in range(1, min(n, 32) + 1) if n % d == 0]:
+    for bt in [d for d in range(1, min(n, 64) + 1) if n % d == 0]:
         for th in [d for d in range(1, oh + 1) if oh % d == 0]:
+            if bt * th * ow > 3136:
+                # Mosaic empirically aborts above ~3136 GEMM rows per
+                # program at these shapes (56·56 works, 112·56 aborts),
+                # independent of the byte estimate — hard cap at the
+                # largest validated row count
+                continue
             slab = bt * (th * sh + kh - 1) * iwp * cin * itemsize
             out = bt * th * ow * cout * (itemsize + 4)
-            if (slab + out + w_bytes) * fudge > budget:
+            windows = kh * kh * bt * th * ow * cin * itemsize
+            if slab + out + windows > budget:
                 continue
-            key = (bt * th, th)  # rows first, then fewer slab overlaps
+            # effective MXU rows discounted by the slab-overlap re-read
+            score = bt * th * th / (th * sh + kh - 1)
+            key = (score, th)
             if best is None or key > best[0]:
                 best = (key, (bt, th))
     return None if best is None else best[1]
@@ -373,10 +397,11 @@ def conv2d_fused(
     bt = _pick_batch_tile(n, ihp, iwp, cin, cout, oh, ow, x.dtype.itemsize, fudge=2.0)
     per_sample = (ihp * iwp * cin * x.dtype.itemsize
                   + oh * ow * cout * (x.dtype.itemsize + 4))
-    if bt == 1 and per_sample * 2 > 12 * 1024 * 1024:
-        # a single sample overflows VMEM (large-spatial ImageNet-class
-        # shapes): tile the OH axis so the kernel still runs in-VMEM at
-        # 224-class shapes (r2 fell back to XLA for ALL of these)
+    if not _whole_sample_ok(oh, ow, cin, bt, per_sample):
+        # outside the CINIC-proven whole-sample regime (r2): tile the OH
+        # axis — grid (batch, OH-slab) with a windows-aware VMEM budget.
+        # This is what lets the kernels run in-kernel at every RN50@224
+        # shape (r2 fell back to XLA for ALL of these)
         tiles = _pick_slab_tiles(n, oh, ow, kh, need_w, cin, cout,
                                  x.dtype.itemsize)
         if tiles is not None:
@@ -499,7 +524,7 @@ def conv2d_stats(x, w, *, stride=1, padding=0, interpret=False):
                           fudge=2.0)
     per_sample = (ihp * iwp * cin * x.dtype.itemsize
                   + oh * ow * cout * (x.dtype.itemsize + 4))
-    if bt == 1 and per_sample * 2 > 12 * 1024 * 1024:
+    if not _whole_sample_ok(oh, ow, cin, bt, per_sample):
         tiles = _pick_slab_tiles(n, oh, ow, kh, need_w, cin, cout,
                                  x.dtype.itemsize)
         if tiles is not None:

@@ -76,6 +76,10 @@ def main():
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--out", default="PALLAS_AB.md")
     ap.add_argument("--json", default="data/output/ab_conv224.json")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated layer names; merge results into "
+                         "the existing JSON (one shape per process survives "
+                         "relay wedges)")
     args = ap.parse_args()
 
     import jax
@@ -85,15 +89,30 @@ def main():
     from convnets_tpu import ops
     from convnets_tpu.ops.pallas import conv as pconv
 
-    @jax.jit
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=(2, 3))
     def xla_stats(x, w, stride, padding):
         y = ops.conv2d(x, w, stride=stride, padding=padding)
         yf = y.astype(jnp.float32)
         return y, jnp.sum(yf, axis=(0, 1, 2)), jnp.sum(yf * yf, axis=(0, 1, 2))
 
+    xla_conv = partial(jax.jit, static_argnums=(2, 3))(
+        lambda x, w, s, p: ops.conv2d(x, w, stride=s, padding=p))
+
+    prior = {}
+    if args.only and os.path.exists(args.json):
+        with open(args.json) as f:
+            prior = {r["layer"]: r for r in json.load(f)}
+    only = set(args.only.split(",")) if args.only else None
+
     rows = []
     n = args.batch
     for name, h, cin, cout, k, s in RN50_SHAPES:
+        if only is not None and name not in only:
+            if name in prior:
+                rows.append(prior[name])
+            continue
         pad = k // 2
         key = jax.random.key(hash(name) % (2**31))
         x = jax.random.normal(key, (n, h, h, cin), jnp.bfloat16)
@@ -107,7 +126,7 @@ def main():
             return pconv.conv2d_stats(x, w, stride=s, padding=pad)
 
         def xla_eval(x=x, w=w, s=s, pad=pad):
-            return ops.conv2d(x, w, stride=s, padding=pad)
+            return xla_conv(x, w, s, pad)
 
         def pl_eval(x=x, w=w, s=s, pad=pad):
             return pconv.conv2d_fused(x, w, stride=s, padding=pad)

@@ -352,3 +352,32 @@ def test_depthwise_large_spatial_tiled(h, c, stride):
     got = pconv.depthwise_conv2d(x, w, stride=stride, padding=1, interpret=True)
     want = ops.conv2d_depthwise(x, w, stride=stride, padding=1)
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_auto_routing_table(monkeypatch):
+    """mode 'auto' routes only the measured win shapes to Pallas; '1'
+    routes everything that fits; '0' disables. route_aux (depthwise/
+    grouped/pool, no A/B table) rides only under '1'."""
+    from convnets_tpu.ops import pallas
+    from convnets_tpu.ops.pallas import routing
+
+    monkeypatch.setenv("CONVNETS_TPU_PALLAS", "auto")
+    assert pallas.mode() == "auto"
+    assert not pallas.route_aux()
+    # measured train win (l4.expand) routes; measured loss (stem) does not
+    assert pallas.route_conv(7, 512, 2048, 1, 1, train=True)
+    assert not pallas.route_conv(224, 3, 64, 7, 2, train=True)
+    # unmeasured shape defaults to XLA
+    assert not pallas.route_conv(31, 99, 17, 5, 1, train=True)
+    # eval table is separate: l3.compress wins eval only
+    assert pallas.route_conv(28, 512, 256, 1, 1, train=False)
+    assert not pallas.route_conv(28, 512, 256, 1, 1, train=True)
+
+    monkeypatch.setenv("CONVNETS_TPU_PALLAS", "1")
+    assert pallas.route_conv(224, 3, 64, 7, 2, train=True)
+    assert pallas.route_aux()
+
+    # every committed table key matches a distinct RN50@224 conv shape
+    for key in routing.TRAIN_WINS | routing.EVAL_WINS:
+        h, cin, cout, k, s = key
+        assert h in (224, 112, 56, 28, 14, 7) and k in (1, 3, 7) and s in (1, 2)
