@@ -85,7 +85,10 @@ def timed_eval(trainer, eval_fn, batch_data, steps=20, warmup=5):
 
 def parse_xplane(trace_dir):
     """Aggregate device-plane op times by op category and by op name."""
-    from tensorboard_plugin_profile.protobuf import xplane_pb2
+    try:
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2
+    except ImportError:  # plugin layout differs across tb versions
+        from tensorboard_plugin_profile.protobuf import xplane_pb2
 
     files = sorted(glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
                              recursive=True))
@@ -151,8 +154,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--trace-dir", default="/tmp/rn50_trace")
     ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--arch", default="resnet")
+    ap.add_argument("--kind", default="50")
+    ap.add_argument("--image", type=int, default=224)
     ap.add_argument("--out", default="data/output/profile_rn50.json")
     ap.add_argument("--skip-ablation", action="store_true")
+    ap.add_argument("--skip-batch-sweep", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -163,29 +170,36 @@ def main():
     # ---- ablation ladder ---------------------------------------------------
     if not args.skip_ablation:
         lad = {}
-        trainer, step_fn, eval_fn, data, _ = build_step(args.batch, 224)
+        trainer, step_fn, eval_fn, data, _ = build_step(
+            args.batch, args.image, kind=args.kind, arch=args.arch)
         lad["eval_fwd_ms"] = round(timed_eval(trainer, eval_fn, data) * 1e3, 2)
         lad["train_full_ms"] = round(timed_train(trainer, step_fn, data) * 1e3, 2)
         lad["train_img_s"] = round(args.batch / (lad["train_full_ms"] / 1e3), 1)
-        # SGD variant: bounds the Adam-moments cost
-        tr2, sf2, _, d2, _ = build_step(args.batch, 224, optimizer="sgd")
-        lad["train_full_sgd_ms"] = round(timed_train(tr2, sf2, d2) * 1e3, 2)
-        del tr2, sf2, d2
-        # batch scaling
-        for b in (512, 128):
-            try:
-                trb, sfb, _, db, _ = build_step(b, 224)
-                ms = timed_train(trb, sfb, db, steps=10) * 1e3
-                lad[f"train_b{b}_ms"] = round(ms, 2)
-                lad[f"train_b{b}_img_s"] = round(b / (ms / 1e3), 1)
-                del trb, sfb, db
-            except Exception as e:
-                lad[f"train_b{b}_error"] = str(e)[:120]
+        if not args.skip_batch_sweep:
+            # SGD variant: bounds the Adam-moments cost
+            tr2, sf2, _, d2, _ = build_step(args.batch, args.image,
+                                            kind=args.kind, arch=args.arch,
+                                            optimizer="sgd")
+            lad["train_full_sgd_ms"] = round(timed_train(tr2, sf2, d2) * 1e3, 2)
+            del tr2, sf2, d2
+            # batch scaling
+            for b in (512, 128):
+                try:
+                    trb, sfb, _, db, _ = build_step(b, args.image,
+                                                    kind=args.kind,
+                                                    arch=args.arch)
+                    ms = timed_train(trb, sfb, db, steps=10) * 1e3
+                    lad[f"train_b{b}_ms"] = round(ms, 2)
+                    lad[f"train_b{b}_img_s"] = round(b / (ms / 1e3), 1)
+                    del trb, sfb, db
+                except Exception as e:
+                    lad[f"train_b{b}_error"] = str(e)[:120]
         report["ablation"] = lad
         print(json.dumps(lad), flush=True)
 
     # ---- device trace ------------------------------------------------------
-    trainer, step_fn, eval_fn, data, _ = build_step(args.batch, 224)
+    trainer, step_fn, eval_fn, data, _ = build_step(
+        args.batch, args.image, kind=args.kind, arch=args.arch)
     x, y, w = data
     key = jax.random.key(3)
     state = trainer.state
