@@ -77,6 +77,20 @@ def _space_to_depth_2x2(x):
     return x.reshape(n, h // 2, w // 2, 4 * c)
 
 
+def _decimate_1x1_stride2(x, ph, pw, oh, ow):
+    """For a 1×1 stride-2 conv, the kernel reads input positions
+    (2i−ph, 2j−pw) only — decimate at the XLA level (strided slices are
+    free outside Mosaic) and run the 1×1 stride-1 kernel on the quarter-
+    size input. Beats the generic space-to-depth rewrite, which widens the
+    contraction to 4·Cin with ¾ structural zeros (4× weight VMEM + 4× MXU
+    work) — at RN50's l4 shortcut (1024→2048) the s2d weight alone is
+    16.8 MB and busts the 16 MB scoped-VMEM limit in-context."""
+    n, ih, iw, cin = x.shape
+    if ph or pw:
+        x = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
+    return x[:, : 2 * oh : 2, : 2 * ow : 2, :]
+
+
 def _stride2_as_stride1(x, w, ph, pw, oh, ow):
     """Rewrite a (2, 2)-strided conv as a stride-1 conv over the 2×2
     space-to-depth transform — the TPU-native stride decomposition: every
@@ -136,32 +150,43 @@ def _conv_kernel(x_ref, w_ref, scale_ref, shift_ref, out_ref, acc_ref,
 
 
 def _pick_batch_tile(n: int, ihp: int, iwp: int, cin: int, cout: int,
-                     oh: int, ow: int, itemsize: int, fudge: float = 2.0) -> int:
+                     oh: int, ow: int, itemsize: int, fudge: float = 2.0,
+                     kk: int = 1) -> int:
     """Largest divisor of n whose VMEM working set stays under budget.
 
-    The base estimate is x tile + out + fp32 acc; Mosaic's stack also holds
-    per-tap window temporaries (more of them for the reshape-based strided
-    windowing), which `fudge` covers — factors measured against the 16 MB
-    scoped-vmem limit per kernel: conv ≈2, depthwise ≈4, pool ≈9."""
+    The base estimate is x tile + out + fp32 acc + the grid-resident
+    weight (kk = kh·kw taps); Mosaic's stack also holds per-tap window
+    temporaries (more of them for the reshape-based strided windowing),
+    which `fudge` covers — factors measured against the 16 MB scoped-vmem
+    limit per kernel: conv ≈2, depthwise ≈4, pool ≈9."""
     budget = 12 * 1024 * 1024
+    wbytes = kk * cin * cout * itemsize
     for bt in range(min(n, 64), 0, -1):
         if n % bt:
             continue
         use = (bt * ihp * iwp * cin * itemsize          # x tile
                + bt * oh * ow * cout * (itemsize + 4))  # out + fp32 acc
-        if use * fudge <= budget:
+        if use * fudge + wbytes <= budget:
             return bt
     return 1
 
 
 def _whole_sample_ok(oh: int, ow: int, cin: int, bt: int,
-                     per_sample: int) -> bool:
+                     per_sample: int, stack_bytes: int = 0) -> bool:
     """Keep the whole-sample (4D) kernel only inside its r2-proven regime:
     CINIC-class spatial (≤32×32) at moderate width. Outside it the Mosaic
     compile is empirically fragile (e.g. 56×56×64 bt=2 and the post-s2d
     14×14×1024 bt=8 both abort the compiler) — those route through the
-    slab-tiled launch, whose picker budgets the per-tap windows in full."""
+    slab-tiled launch, whose picker budgets the per-tap windows in full.
+
+    `stack_bytes` is the explicit windows-aware working-set estimate
+    (x + out + acc + per-tap windows + weight) for the chosen bt; in-context
+    compiles add an operand-relayout buffer on top of it (measured: the
+    7×7×512 k3 shape estimates 13.3 MB standalone but allocates 16.21 MB
+    when the input arrives with an untiled layout constraint), so anything
+    estimating above 12 MB goes to the OH-slab kernel instead."""
     return (oh * ow <= 1024 and cin <= 512
+            and stack_bytes <= 12 * 1024 * 1024
             and not (bt == 1 and per_sample * 2 > 12 * 1024 * 1024))
 
 
@@ -178,6 +203,13 @@ def _pick_slab_tiles(n: int, oh: int, ow: int, kh: int, iwp: int, cin: int,
     # the compiler), so they are counted in full
     del fudge
     budget = 8 * 1024 * 1024
+    # the grid-resident weight is a separate VMEM allocation on top of the
+    # per-program working set: charge it against the 16 MB scoped limit
+    # (with headroom for Mosaic stack overhead + in-context relayout
+    # buffers), not against the window budget — an 8.4 MB weight
+    # (s2d l4.spatial/2) compiles fine, a 16.8 MB one cannot
+    wbytes = kh * kh * cin * cout * itemsize
+    total_cap = 14 * 1024 * 1024
     best = None
     for bt in [d for d in range(1, min(n, 64) + 1) if n % d == 0]:
         for th in [d for d in range(1, oh + 1) if oh % d == 0]:
@@ -191,6 +223,8 @@ def _pick_slab_tiles(n: int, oh: int, ow: int, kh: int, iwp: int, cin: int,
             out = bt * th * ow * cout * (itemsize + 4)
             windows = kh * kh * bt * th * ow * cin * itemsize
             if slab + out + windows > budget:
+                continue
+            if slab + out + windows + wbytes > total_cap:
                 continue
             # effective MXU rows discounted by the slab-overlap re-read
             score = bt * th * th / (th * sh + kh - 1)
@@ -379,6 +413,10 @@ def conv2d_fused(
     ow = (iw + 2 * pw - kw) // sw + 1
 
     if (sh, sw) == (2, 2):
+        if (kh, kw) == (1, 1):
+            xd = _decimate_1x1_stride2(x, ph, pw, oh, ow)
+            return conv2d_fused(xd, w, scale, shift, stride=1, padding=0,
+                                relu=relu, interpret=interpret)
         # stride 2 → space-to-depth + stride-1 over 4·Cin (see
         # _stride2_as_stride1); recurse into the stride-1 path
         xs, ws = _stride2_as_stride1(x, w, ph, pw, oh, ow)
@@ -394,10 +432,14 @@ def conv2d_fused(
     ones = jnp.ones((1, cout), jnp.float32) if scale is None else scale.reshape(1, cout).astype(jnp.float32)
     zeros = jnp.zeros((1, cout), jnp.float32) if shift is None else shift.reshape(1, cout).astype(jnp.float32)
 
-    bt = _pick_batch_tile(n, ihp, iwp, cin, cout, oh, ow, x.dtype.itemsize, fudge=2.0)
+    bt = _pick_batch_tile(n, ihp, iwp, cin, cout, oh, ow, x.dtype.itemsize,
+                          fudge=2.0, kk=kh * kw)
     per_sample = (ihp * iwp * cin * x.dtype.itemsize
                   + oh * ow * cout * (x.dtype.itemsize + 4))
-    if not _whole_sample_ok(oh, ow, cin, bt, per_sample):
+    stack = (bt * per_sample  # x + out + fp32 acc
+             + kh * kw * bt * oh * ow * cin * x.dtype.itemsize  # tap windows
+             + kh * kw * cin * cout * x.dtype.itemsize)         # weight
+    if not _whole_sample_ok(oh, ow, cin, bt, per_sample, stack):
         # outside the CINIC-proven whole-sample regime (r2): tile the OH
         # axis — grid (batch, OH-slab) with a windows-aware VMEM budget.
         # This is what lets the kernels run in-kernel at every RN50@224
@@ -513,6 +555,10 @@ def conv2d_stats(x, w, *, stride=1, padding=0, interpret=False):
     ow = (iw + 2 * pw - kw) // sw + 1
 
     if (sh, sw) == (2, 2):
+        if (kh, kw) == (1, 1):
+            xd = _decimate_1x1_stride2(x, ph, pw, oh, ow)
+            return conv2d_stats(xd, w, stride=1, padding=0,
+                                interpret=interpret)
         xs, ws = _stride2_as_stride1(x, w, ph, pw, oh, ow)
         return conv2d_stats(xs, ws, stride=1, padding=0, interpret=interpret)
 
@@ -521,10 +567,13 @@ def conv2d_stats(x, w, *, stride=1, padding=0, interpret=False):
     ihp, iwp = need_h, need_w
 
     bt = _pick_batch_tile(n, ihp, iwp, cin, cout, oh, ow, x.dtype.itemsize,
-                          fudge=2.0)
+                          fudge=2.0, kk=kh * kw)
     per_sample = (ihp * iwp * cin * x.dtype.itemsize
                   + oh * ow * cout * (x.dtype.itemsize + 4))
-    if not _whole_sample_ok(oh, ow, cin, bt, per_sample):
+    stack = (bt * per_sample
+             + kh * kw * bt * oh * ow * cin * x.dtype.itemsize
+             + kh * kw * cin * cout * x.dtype.itemsize)
+    if not _whole_sample_ok(oh, ow, cin, bt, per_sample, stack):
         tiles = _pick_slab_tiles(n, oh, ow, kh, need_w, cin, cout,
                                  x.dtype.itemsize)
         if tiles is not None:

@@ -24,13 +24,11 @@ TRAIN_WINS = {
     (28, 128, 512, 1, 1),    # l2.expand
     (28, 512, 128, 1, 1),    # l2.compress2
     (28, 128, 128, 3, 1),    # l2.spatial
-    (28, 512, 1024, 1, 2),   # l3.shortcut/2
+    (28, 512, 1024, 1, 2),   # l3.shortcut/2 (decimated-1x1 lowering)
     (14, 1024, 256, 1, 1),   # l3.compress2
     (14, 1024, 512, 1, 1),   # l4.compress
     (14, 512, 512, 3, 2),    # l4.spatial/2
-    (14, 1024, 2048, 1, 2),  # l4.shortcut/2
     (7, 512, 2048, 1, 1),    # l4.expand
-    (7, 512, 512, 3, 1),     # l4.spatial
 }
 
 # shapes where eval-mode conv2d_fused beat the plain XLA conv
@@ -39,13 +37,11 @@ EVAL_WINS = {
     (56, 256, 64, 1, 1),     # l1.compress2
     (56, 256, 128, 1, 1),    # l2.compress
     (28, 128, 512, 1, 1),    # l2.expand
-    (28, 512, 256, 1, 1),    # l3.compress (eval only)
+    (14, 1024, 256, 1, 1),   # l3.compress2
     (14, 256, 256, 3, 1),    # l3.spatial
     (14, 1024, 512, 1, 1),   # l4.compress
     (14, 512, 512, 3, 2),    # l4.spatial/2
-    (14, 1024, 2048, 1, 2),  # l4.shortcut/2
     (7, 512, 2048, 1, 1),    # l4.expand
-    (7, 512, 512, 3, 1),     # l4.spatial
 }
 
 

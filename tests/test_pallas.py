@@ -20,7 +20,7 @@ def rand(key, shape):
     return jax.random.normal(jax.random.key(key), shape, jnp.float32)
 
 
-@pytest.mark.parametrize("stride,padding,k", [(1, 1, 3), (2, 1, 3), (1, 0, 1), (2, 3, 7)])
+@pytest.mark.parametrize("stride,padding,k", [(1, 1, 3), (2, 1, 3), (1, 0, 1), (2, 3, 7), (2, 0, 1), (2, 1, 1)])
 def test_conv2d_fused_matches_lax(stride, padding, k):
     x = rand(0, (4, 16, 16, 8))
     w = rand(1, (k, k, 8, 32)) * 0.1
@@ -84,7 +84,7 @@ def test_conv2d_fused_bf16():
                                np.asarray(want, np.float32), rtol=0.1, atol=0.1)
 
 
-@pytest.mark.parametrize("stride,padding,k", [(1, 1, 3), (2, 1, 3)])
+@pytest.mark.parametrize("stride,padding,k", [(1, 1, 3), (2, 1, 3), (2, 0, 1)])
 def test_conv2d_stats_matches_lax(stride, padding, k):
     from convnets_tpu.ops.pallas import conv2d_stats
 
@@ -341,6 +341,40 @@ def test_tiled_slab_picker_covers_rn50_shapes():
         assert tiles is not None, (oh, kh, iwp, cin, cout)
 
 
+def test_vmem_pickers_count_resident_weight():
+    """r3 regression (in-context scoped-VMEM OOM): both tile pickers must
+    include the grid-resident weight in the working-set estimate. The
+    pre-decimation l4 shortcut (s2d-expanded 1x1: Cin 4096 -> Cout 2048,
+    16.8 MB bf16 weight) exceeds the slab budget outright, and the 7x7x512
+    k3 shape must leave the whole-sample regime (its Mosaic stack measured
+    16.21 MB in-context vs the 16 MB limit)."""
+    from convnets_tpu.ops.pallas import conv as pconv
+
+    assert pconv._pick_slab_tiles(256, 7, 7, 1, 7, 4096, 2048, 2) is None
+
+    it, oh = 2, 7
+    bt = pconv._pick_batch_tile(256, 9, 9, 512, 512, oh, oh, it, fudge=2.0,
+                                kk=9)
+    ps = 9 * 9 * 512 * it + oh * oh * 512 * (it + 4)
+    stack = bt * ps + 9 * bt * oh * oh * 512 * it + 9 * 512 * 512 * it
+    assert not pconv._whole_sample_ok(oh, oh, 512, bt, ps, stack)
+    # ...and the slab path must still cover it
+    assert pconv._pick_slab_tiles(256, oh, oh, 3, 9, 512, 512, it) is not None
+
+
+def test_decimate_1x1_stride2_lowering():
+    """1x1 stride-2 convs must decimate the input (quarter-size stride-1
+    conv) rather than space-to-depth to 4*Cin (3/4 structural zeros)."""
+    from convnets_tpu.ops.pallas import conv as pconv
+
+    x = rand(0, (2, 14, 14, 16))
+    got = pconv._decimate_1x1_stride2(x, 0, 0, 7, 7)
+    np.testing.assert_array_equal(got, np.asarray(x)[:, ::2, ::2, :])
+    got = pconv._decimate_1x1_stride2(x, 1, 1, 8, 8)
+    xp = np.pad(np.asarray(x), ((0, 0), (1, 1), (1, 1), (0, 0)))
+    np.testing.assert_array_equal(got, xp[:, :16:2, :16:2, :])
+
+
 @pytest.mark.parametrize("h,c,stride", [(112, 64, 1), (112, 128, 2)])
 def test_depthwise_large_spatial_tiled(h, c, stride):
     """224-class depthwise shapes (MobileNet stress config) overflow the
@@ -369,9 +403,9 @@ def test_auto_routing_table(monkeypatch):
     assert not pallas.route_conv(224, 3, 64, 7, 2, train=True)
     # unmeasured shape defaults to XLA
     assert not pallas.route_conv(31, 99, 17, 5, 1, train=True)
-    # eval table is separate: l3.compress wins eval only
-    assert pallas.route_conv(28, 512, 256, 1, 1, train=False)
-    assert not pallas.route_conv(28, 512, 256, 1, 1, train=True)
+    # eval table is separate: l3.spatial wins eval only
+    assert pallas.route_conv(14, 256, 256, 3, 1, train=False)
+    assert not pallas.route_conv(14, 256, 256, 3, 1, train=True)
 
     monkeypatch.setenv("CONVNETS_TPU_PALLAS", "1")
     assert pallas.route_conv(224, 3, 64, 7, 2, train=True)
