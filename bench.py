@@ -66,12 +66,17 @@ def measure(batch: int, image: int, kind: str, warmup: int = 5, steps: int = 20,
     return batch * steps / dt
 
 
-def measure_pipeline(epochs: int = 1, batch: int = 256):
+def measure_pipeline(batch: int = 256):
     """Steady-state training throughput WITH the real input pipeline
-    attached (CINIC-10 ResNet-26): decode workers → uint8 device feed →
-    on-device augment+normalize → train step. Complements the synthetic
-    kernel bench above, which hides input-bound regimes (the reference
-    feeds 16 worker processes, mngrdata.py:158-163)."""
+    attached (CINIC-10 ResNet-26), measured through the production
+    fit() epoch path. For CINIC that path is the HBM-resident
+    DeviceCacheLoader + whole-epoch lax.scan: the split lives on device,
+    one dispatch runs the whole epoch, and only the epoch's index matrix
+    crosses the host↔device link. Epoch 0 pays resident upload + compile;
+    epochs 1-2 are the timed steady state (_run_train_epoch's device_get
+    of the summed metrics is the fence). Complements the synthetic kernel
+    bench above, which hides input-bound regimes (the reference feeds 16
+    worker processes, mngrdata.py:158-163)."""
     import time as _t
 
     from convnets_tpu.data.manager import DataMngr
@@ -82,7 +87,7 @@ def measure_pipeline(epochs: int = 1, batch: int = 256):
     root = "/root/reference/data/CINIC-10"
     setting = Settings(
         kind="26", input_size=(3, 32, 32), num_classes=10, batch_size=batch,
-        epochs=epochs, mixed_precision=True, data_augment=True,
+        epochs=3, mixed_precision=True, data_augment=True,
         augment_affine=False, data_norm=True, optimizer="sgd",
         lr_scheduler="none", learning_rate=0.05, early_stop=False,
         output_dir="/tmp/bench_out",
@@ -92,25 +97,13 @@ def measure_pipeline(epochs: int = 1, batch: int = 256):
     model = build_model("resnet", setting)
     trainer = Trainer(model)
     trainer.init_state()
-    step_fn = trainer._get_train_step(augment=True, norm=True,
-                                      stats=trainer._resolve_stats(trainset))
 
-    import numpy as np
-
-    from convnets_tpu.data.loader import device_prefetch
-
-    state, n_img, t0 = trainer.state, 0, None
-    key = jax.random.key(0)
-    for i, (x, y, w) in enumerate(device_prefetch(trainset, size=2)):
-        state, loss, correct = step_fn(state, x, y, w, jax.random.fold_in(key, i))
-        n_img += int(np.sum(np.asarray(w) > 0))
-        if i == 4:  # warmup/compile boundary: fence, then start the clock
-            _ = np.asarray(loss)
-            n_img, t0 = 0, _t.perf_counter()
-        if i >= 104:
-            break
-    _ = np.asarray(loss)
-    return n_img / (_t.perf_counter() - t0)
+    trainer._run_train_epoch(trainset, 0)  # resident upload + compile
+    n = trainer._loader_host_count(trainset)
+    t0 = _t.perf_counter()
+    trainer._run_train_epoch(trainset, 1)
+    trainer._run_train_epoch(trainset, 2)
+    return 2 * n / (_t.perf_counter() - t0)
 
 
 def main():

@@ -24,6 +24,7 @@ _STREAMS = {
     "tune": 4,
     "bench": 5,
     "bn_reestimate": 6,
+    "eval": 7,
 }
 
 

@@ -173,6 +173,16 @@ class ImageFolderDataset(Dataset):
         return x.astype(np.float32) / 255.0, y
 
     def _decode(self, i: int) -> np.ndarray:
+        # native C++ decode+resize first (convnets_tpu/native: ~2× PIL on
+        # this 1-core host, bit-identical decode, resize within ±1 LSB);
+        # PIL remains the fallback for exotic formats / missing toolchain
+        from convnets_tpu import native
+
+        if native.available():
+            out = native.decode_image(self._paths[int(i)], self._size)
+            if out is not None:
+                return out
+
         from PIL import Image
 
         with Image.open(self._paths[int(i)]) as im:

@@ -179,7 +179,13 @@ class DeviceCacheLoader:
         self.num_hosts = num_hosts
         self.epoch = 0
         self._resident = None
+        self._resident_sharding = None
         self._gather = None
+        # whole-epoch lax.scan eligibility (engine._use_epoch_scan): the
+        # split is device-resident, so the engine can run every step of an
+        # epoch in ONE dispatch — only the epoch's index matrix crosses the
+        # host↔device link. Set False to force the per-step iterator path.
+        self.scan_epochs = True
 
     # --- same sizing/permutation rules as DataLoader ------------------
     __len__ = DataLoader.__len__
@@ -187,23 +193,49 @@ class DeviceCacheLoader:
     _host_count = DataLoader._host_count
     _epoch_indices = DataLoader._epoch_indices
 
-    def _ensure_resident(self):
-        if self._resident is not None:
-            return
+    def _ensure_resident(self, sharding=None):
+        """Push the split to device once. `sharding` (a NamedSharding,
+        normally replicated over the mesh) re-places the resident arrays if
+        it differs from the current placement — each device then gathers
+        batch slices locally from its own replica."""
         import jax
         import jax.numpy as jnp
 
-        load = getattr(self.dataset, "load_raw", self.dataset.load)
-        x, y = load(np.arange(len(self.dataset)))
-        self._resident = (
-            jax.device_put(np.ascontiguousarray(x)),
-            jax.device_put(np.asarray(y, np.int32)),
-        )
+        if self._resident is None:
+            load = getattr(self.dataset, "load_raw", self.dataset.load)
+            x, y = load(np.arange(len(self.dataset)))
+            put = (lambda a: jax.device_put(a, sharding)) if sharding is not None \
+                else jax.device_put
+            self._resident = (
+                put(np.ascontiguousarray(x)),
+                put(np.asarray(y, np.int32)),
+            )
+            self._resident_sharding = sharding
 
-        def gather(data, labels, idx):
-            return jnp.take(data, idx, axis=0), jnp.take(labels, idx, axis=0)
+            def gather(data, labels, idx):
+                return jnp.take(data, idx, axis=0), jnp.take(labels, idx, axis=0)
 
-        self._gather = jax.jit(gather)
+            self._gather = jax.jit(gather)
+        elif sharding is not None and sharding != self._resident_sharding:
+            self._resident = tuple(
+                jax.device_put(a, sharding) for a in self._resident)
+            self._resident_sharding = sharding
+
+    def epoch_matrices(self):
+        """One epoch's batches as dense matrices for the scanned-epoch path:
+        (idx_mat int32 (num_batches, bs), w_mat float32 (num_batches, bs)).
+        Advances the epoch counter exactly like __iter__, with the same
+        seeded permutation, per-host shard, and index-0-replayed padding."""
+        order = self._epoch_indices()
+        self.epoch += 1
+        bs = self.batch_size
+        nb = len(order) // bs if self.drop_last else -(-len(order) // bs)
+        idx = np.zeros((nb * bs,), np.int32)
+        k = min(len(order), nb * bs)
+        idx[:k] = order[:k]
+        w = np.zeros((nb * bs,), np.float32)
+        w[:k] = 1.0
+        return idx.reshape(nb, bs), w.reshape(nb, bs)
 
     def __iter__(self):
         """Yields (x, y, w): x/y are device arrays gathered on device from

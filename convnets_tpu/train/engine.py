@@ -67,6 +67,7 @@ class Trainer:
         self._train_step_fns = {}
         self._eval_step_fns = {}
         self._bn_step_fns = {}
+        self._epoch_fns = {}
         # optional hook called as epoch_hook(trainer, epoch_index) after
         # every epoch's bookkeeping (tail snapshots for weight averaging,
         # custom logging, ...)
@@ -158,15 +159,12 @@ class Trainer:
 
         return preprocess
 
-    def _get_train_step(self, augment: bool, norm: bool, debug: bool = False,
-                        stats=None):
-        do_affine = bool(getattr(self.setting, "augment_affine", True))
-        mean_grad = getattr(self.setting, "loss_reduction", "sum") == "mean"
-        smoothing = float(getattr(self.setting, "label_smoothing", 0.0) or 0.0)
-        key = (augment, norm, debug, stats, do_affine, mean_grad, smoothing,
-               self.optimizer_name)
-        if key in self._train_step_fns:
-            return self._train_step_fns[key]
+    def _build_train_step(self, augment: bool, norm: bool, debug: bool,
+                          stats, do_affine: bool, mean_grad: bool,
+                          smoothing: float):
+        """The pure (un-jitted) train step — shared by the per-batch jit
+        (`_get_train_step`) and the whole-epoch `lax.scan`
+        (`_get_train_epoch_fn`), so both paths are numerically identical."""
         preprocess = self._make_preprocess(augment, norm, stats, do_affine)
 
         setting = self.setting
@@ -227,6 +225,20 @@ class Trainer:
                 return new_state, loss, correct, optim.global_norm(grads)
             return new_state, loss, correct
 
+        return train_step
+
+    def _get_train_step(self, augment: bool, norm: bool, debug: bool = False,
+                        stats=None):
+        do_affine = bool(getattr(self.setting, "augment_affine", True))
+        mean_grad = getattr(self.setting, "loss_reduction", "sum") == "mean"
+        smoothing = float(getattr(self.setting, "label_smoothing", 0.0) or 0.0)
+        key = (augment, norm, debug, stats, do_affine, mean_grad, smoothing,
+               self.optimizer_name)
+        if key in self._train_step_fns:
+            return self._train_step_fns[key]
+        train_step = self._build_train_step(augment, norm, debug, stats,
+                                            do_affine, mean_grad, smoothing)
+
         data_s, rep_s = self._shardings()
         if self.mesh is not None:
             n_out = 4 if debug else 3
@@ -241,10 +253,9 @@ class Trainer:
         self._train_step_fns[key] = fn
         return fn
 
-    def _get_eval_step(self, norm: bool, stats=None):
-        key = (norm, stats)
-        if key in self._eval_step_fns:
-            return self._eval_step_fns[key]
+    def _build_eval_step(self, norm: bool, stats):
+        """The pure (un-jitted) eval step — shared by the per-batch jit and
+        the whole-epoch scan."""
         model = self.model
         # eval path: no augmentation; Resize+CenterCrop for 224-class configs
         preprocess = self._make_preprocess(False, norm, stats, False)
@@ -260,6 +271,14 @@ class Trainer:
             preds = jnp.argmax(logits, axis=-1)
             return loss, correct, preds
 
+        return eval_step
+
+    def _get_eval_step(self, norm: bool, stats=None):
+        key = (norm, stats)
+        if key in self._eval_step_fns:
+            return self._eval_step_fns[key]
+        eval_step = self._build_eval_step(norm, stats)
+
         data_s, rep_s = self._shardings()
         if self.mesh is not None:
             fn = jax.jit(
@@ -271,6 +290,101 @@ class Trainer:
             fn = jax.jit(eval_step)
         self._eval_step_fns[key] = fn
         return fn
+
+    # ------------------------------------------------------------------
+    # whole-epoch scan over a device-resident split
+    #
+    # With DeviceCacheLoader the entire split already lives in HBM, so an
+    # epoch needs NO per-step host involvement at all: the epoch's batch
+    # index matrix crosses the link once (~350 KB for CINIC) and one jitted
+    # lax.scan runs every step back-to-back on device. This removes the
+    # per-step dispatch latency of the host loop — measured through the
+    # axon relay, the per-step path tops out at ~6.7k img/s on RN26/CINIC
+    # while the device-side step rate is ~24k img/s (CLAUDE.md perf
+    # ledger); the scanned epoch closes that gap. Numerics are identical
+    # to the per-step path: same _build_train_step body, same seeded
+    # permutation, same fold_in(base_key, step) RNG stream.
+
+    def _get_train_epoch_fn(self, augment: bool, norm: bool, stats,
+                            num_steps: int):
+        do_affine = bool(getattr(self.setting, "augment_affine", True))
+        mean_grad = getattr(self.setting, "loss_reduction", "sum") == "mean"
+        smoothing = float(getattr(self.setting, "label_smoothing", 0.0) or 0.0)
+        key = ("train", augment, norm, stats, do_affine, mean_grad, smoothing,
+               self.optimizer_name, num_steps)
+        if key in self._epoch_fns:
+            return self._epoch_fns[key]
+        train_step = self._build_train_step(augment, norm, False, stats,
+                                            do_affine, mean_grad, smoothing)
+
+        def epoch_fn(state, data, labels, idx_mat, w_mat, base_key):
+            def body(state, inp):
+                idx, w, i = inp
+                x = jnp.take(data, idx, axis=0)
+                y = jnp.take(labels, idx, axis=0)
+                state, loss, correct = train_step(
+                    state, x, y, w, jax.random.fold_in(base_key, i))
+                return state, (loss, correct)
+
+            steps = jnp.arange(num_steps, dtype=jnp.int32)
+            state, (losses, corrects) = jax.lax.scan(
+                body, state, (idx_mat, w_mat, steps))
+            return state, jnp.sum(losses), jnp.sum(corrects)
+
+        fn = self._jit_epoch_fn(epoch_fn, n_scalars=2, donate_state=True)
+        self._epoch_fns[key] = fn
+        return fn
+
+    def _get_eval_epoch_fn(self, norm: bool, stats, num_steps: int,
+                           collect_preds: bool = False):
+        key = ("eval", norm, stats, num_steps, collect_preds)
+        if key in self._epoch_fns:
+            return self._epoch_fns[key]
+        eval_step = self._build_eval_step(norm, stats)
+
+        def epoch_fn(state, data, labels, idx_mat, w_mat, base_key):
+            del base_key  # eval is deterministic; kept for a uniform signature
+
+            def body(carry, inp):
+                idx, w = inp
+                x = jnp.take(data, idx, axis=0)
+                y = jnp.take(labels, idx, axis=0)
+                loss, correct, preds = eval_step(state, x, y, w)
+                out = (loss, correct, preds) if collect_preds else (loss, correct)
+                return carry, out
+
+            _, outs = jax.lax.scan(body, None, (idx_mat, w_mat))
+            if collect_preds:
+                losses, corrects, preds = outs
+                return jnp.sum(losses), jnp.sum(corrects), preds
+            losses, corrects = outs
+            return jnp.sum(losses), jnp.sum(corrects)
+
+        fn = self._jit_epoch_fn(epoch_fn, n_scalars=2, donate_state=False,
+                                preds_out=collect_preds)
+        self._epoch_fns[key] = fn
+        return fn
+
+    def _jit_epoch_fn(self, epoch_fn, n_scalars: int, donate_state: bool,
+                      preds_out: bool = False):
+        """jit an epoch_fn(state, data, labels, idx_mat, w_mat, key):
+        state/splits replicated, index/weight matrices (and stacked preds)
+        sharded on their batch axis (axis 1) so each device gathers its
+        batch slice locally from its replica of the split."""
+        if self.mesh is None:
+            donate = (0,) if donate_state else ()
+            return jax.jit(epoch_fn, donate_argnums=donate)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = replicated(self.mesh)
+        batch1 = NamedSharding(self.mesh, P(None, "data"))
+        in_s = (rep, rep, rep, batch1, batch1, rep)
+        if donate_state:
+            out_s = (rep,) + (rep,) * n_scalars
+            return jax.jit(epoch_fn, in_shardings=in_s, out_shardings=out_s,
+                           donate_argnums=(0,))
+        out_s = (rep,) * n_scalars + ((batch1,) if preds_out else ())
+        return jax.jit(epoch_fn, in_shardings=in_s, out_shardings=out_s)
 
     def _get_bn_step(self, augment: bool, norm: bool, stats=None):
         """Forward-only train-mode step that refreshes BN running stats at
@@ -385,9 +499,35 @@ class Trainer:
             mean, std = CINIC_MEAN, CINIC_STD
         return tuple(float(v) for v in mean), tuple(float(v) for v in std)
 
+    def _use_epoch_scan(self, loader, debug: bool = False) -> bool:
+        """Whole-epoch scan applies when the loader keeps its split resident
+        on device and per-step host involvement isn't required (debug prints
+        per-step scalars; sanity_check runs exactly one step)."""
+        return (getattr(loader, "scan_epochs", False) and not debug
+                and not self.setting.sanity_check)
+
+    def _epoch_inputs(self, loader):
+        """Resident split (replicated over the mesh) + this epoch's batch
+        index/weight matrices."""
+        _, rep_s = self._shardings()
+        loader._ensure_resident(rep_s)
+        data, labels = loader._resident
+        idx_mat, w_mat = loader.epoch_matrices()
+        return data, labels, idx_mat, w_mat
+
     def _run_train_epoch(self, loader: DataLoader, epoch_index: int):
         augment, norm = self._resolve_flags(loader, train=True)
         debug = bool(self.setting.debug)
+        if self._use_epoch_scan(loader, debug):
+            data, labels, idx_mat, w_mat = self._epoch_inputs(loader)
+            fn = self._get_train_epoch_fn(augment, norm,
+                                          self._resolve_stats(loader),
+                                          idx_mat.shape[0])
+            base_key = key_for(self.setting.seed, "dropout", epoch_index)
+            self.state, loss_sum, correct_sum = fn(
+                self.state, data, labels, idx_mat, w_mat, base_key)
+            n = self._loader_host_count(loader)
+            return float(loss_sum) / n, float(correct_sum) / n
         step_fn = self._get_train_step(augment, norm, debug,
                                        stats=self._resolve_stats(loader))
         data_s, _ = self._shardings()
@@ -430,6 +570,21 @@ class Trainer:
 
     def _run_eval_epoch(self, loader: DataLoader, collect_preds: bool = False):
         _, norm = self._resolve_flags(loader, train=False)
+        if self._use_epoch_scan(loader):
+            data, labels, idx_mat, w_mat = self._epoch_inputs(loader)
+            fn = self._get_eval_epoch_fn(norm, self._resolve_stats(loader),
+                                         idx_mat.shape[0], collect_preds)
+            base_key = key_for(self.setting.seed, "eval")
+            out = fn(self.state, data, labels, idx_mat, w_mat, base_key)
+            n = self._loader_host_count(loader)
+            result = (float(out[0]) / n, float(out[1]) / n)
+            if collect_preds:
+                mask = w_mat.reshape(-1) > 0
+                preds = np.asarray(out[2]).reshape(-1)[mask]
+                targets = np.asarray(loader.dataset.all_labels())[
+                    idx_mat.reshape(-1)[mask]]
+                return (*result, targets, preds)
+            return result
         step_fn = self._get_eval_step(norm, stats=self._resolve_stats(loader))
         data_s, _ = self._shardings()
 

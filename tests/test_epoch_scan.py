@@ -1,0 +1,166 @@
+"""Whole-epoch lax.scan over a device-resident split.
+
+The scanned path must be observably identical to the per-step iterator
+path: same seeded permutation, same RNG stream (fold_in(base_key, step)),
+same padding semantics (DeviceCacheLoader replays index 0 at weight 0),
+same epoch metrics — it only removes the per-step host dispatch.
+"""
+
+import numpy as np
+import pytest
+
+from convnets_tpu.data.datasets import synthetic_dataset
+from convnets_tpu.data.loader import DataLoader, DeviceCacheLoader
+from convnets_tpu.models import build_model
+from convnets_tpu.settings import Settings
+from convnets_tpu.train.engine import Trainer
+
+
+def _setting(**kw):
+    base = dict(
+        kind=0, input_size=(3, 16, 16), num_classes=4, batch_size=16,
+        epochs=1, mixed_precision=False, data_augment=True, data_norm=True,
+        sanity_check=False, early_stop=False, lr_scheduler="none",
+        learning_rate=0.01, output_dir="/tmp/test_epoch_scan",
+    )
+    base.update(kw)
+    return Settings(**base)
+
+
+def _make_trainer(setting, arch="lenet"):
+    model = build_model(arch, setting)
+    t = Trainer(model)
+    t.init_state()
+    return t
+
+
+@pytest.fixture(scope="module")
+def dataset():
+    # 64 examples = 4 full batches of 16: padding-free so the per-step
+    # (zero-pad) and resident (index-0-replay) loaders are BN-identical
+    return synthetic_dataset(64, image_shape=(16, 16, 3), num_classes=4, seed=3)
+
+
+def test_train_epoch_scan_matches_per_step(dataset):
+    import jax
+
+    setting = _setting()
+    per_step = _make_trainer(setting)
+    scanned = _make_trainer(setting)
+
+    loader_it = DeviceCacheLoader(dataset, setting.batch_size, shuffle=True, seed=5)
+    loader_it.scan_epochs = False
+    loader_sc = DeviceCacheLoader(dataset, setting.batch_size, shuffle=True, seed=5)
+    assert loader_sc.scan_epochs
+
+    for epoch in range(2):
+        l_it, s_it = per_step._run_train_epoch(loader_it, epoch)
+        l_sc, s_sc = scanned._run_train_epoch(loader_sc, epoch)
+        assert np.isclose(l_it, l_sc, rtol=1e-5), (epoch, l_it, l_sc)
+        assert np.isclose(s_it, s_sc, rtol=1e-6), (epoch, s_it, s_sc)
+
+    # final parameters agree too (same steps, same RNG stream)
+    flat_a = jax.tree_util.tree_leaves(per_step.state.params)
+    flat_b = jax.tree_util.tree_leaves(scanned.state.params)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_train_epoch_scan_matches_per_step_batchnorm(dataset):
+    """ResNet covers BN: running-stat merge inside the scan carry must
+    match the per-step path (same batches, same order). SGD keeps the
+    comparison tight — Adam's g/(√v̂+ε) amplifies compiler-reassociation
+    noise at near-zero gradients into visible param diffs (verified: loss
+    and BN stats are bit-identical under Adam too, params are not)."""
+    import jax
+
+    setting = _setting(kind="18", batch_size=16, optimizer="sgd",
+                       momentum=0.9, learning_rate=1e-3)
+    per_step = _make_trainer(setting, arch="resnet")
+    scanned = _make_trainer(setting, arch="resnet")
+
+    sub = synthetic_dataset(32, image_shape=(16, 16, 3), num_classes=4, seed=3)
+    loader_it = DeviceCacheLoader(sub, 16, shuffle=True, seed=5)
+    loader_it.scan_epochs = False
+    loader_sc = DeviceCacheLoader(sub, 16, shuffle=True, seed=5)
+
+    for epoch in range(2):
+        l_it, s_it = per_step._run_train_epoch(loader_it, epoch)
+        l_sc, s_sc = scanned._run_train_epoch(loader_sc, epoch)
+        assert np.isclose(l_it, l_sc, rtol=1e-4), (epoch, l_it, l_sc)
+        assert np.isclose(s_it, s_sc, rtol=1e-6)
+    flat_a = jax.tree_util.tree_leaves(per_step.state.model_state)
+    flat_b = jax.tree_util.tree_leaves(scanned.state.model_state)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+    flat_a = jax.tree_util.tree_leaves(per_step.state.params)
+    flat_b = jax.tree_util.tree_leaves(scanned.state.params)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4)
+
+
+def test_train_epoch_scan_with_padding(dataset):
+    """Partial final batch: scan vs per-step on the SAME resident loader
+    semantics (index-0 replay at weight 0)."""
+    setting = _setting(batch_size=24)  # 64 = 2*24 + 16 → padded final batch
+    per_step = _make_trainer(setting)
+    scanned = _make_trainer(setting)
+
+    loader_it = DeviceCacheLoader(dataset, 24, shuffle=True, seed=7)
+    loader_it.scan_epochs = False
+    loader_sc = DeviceCacheLoader(dataset, 24, shuffle=True, seed=7)
+
+    l_it, s_it = per_step._run_train_epoch(loader_it, 0)
+    l_sc, s_sc = scanned._run_train_epoch(loader_sc, 0)
+    assert np.isclose(l_it, l_sc, rtol=1e-5)
+    assert np.isclose(s_it, s_sc, rtol=1e-6)
+
+
+def test_eval_epoch_scan_matches_per_step(dataset):
+    setting = _setting()
+    t = _make_trainer(setting)
+
+    loader_it = DeviceCacheLoader(dataset, 24, shuffle=False)  # padded last batch
+    loader_it.scan_epochs = False
+    loader_sc = DeviceCacheLoader(dataset, 24, shuffle=False)
+
+    l_it, s_it, tg_it, pr_it = t._run_eval_epoch(loader_it, collect_preds=True)
+    l_sc, s_sc, tg_sc, pr_sc = t._run_eval_epoch(loader_sc, collect_preds=True)
+    assert np.isclose(l_it, l_sc, rtol=1e-5)
+    assert np.isclose(s_it, s_sc, rtol=1e-6)
+    np.testing.assert_array_equal(tg_it, tg_sc)
+    np.testing.assert_array_equal(pr_it, pr_sc)
+    assert len(pr_sc) == len(dataset)
+
+
+def test_fit_on_scanned_loader_trains(dataset):
+    """End-to-end fit() over the scanned path reduces loss and keeps the
+    bookkeeping (epoch_results, checkpoints) intact."""
+    setting = _setting(epochs=3, batch_size=16)
+    t = _make_trainer(setting)
+    train = DeviceCacheLoader(dataset, 16, shuffle=True, seed=1)
+    valid = DeviceCacheLoader(dataset, 16, shuffle=False)
+    t.fit(train, valid)
+    r = t.epoch_results
+    assert r["total_epochs"] == 3
+    assert len(r["train_loss"]) >= 1
+    assert r["train_loss"][-1] < r["train_loss"][0] * 1.5  # not diverging
+
+
+def test_sanity_check_falls_back_to_per_step(dataset):
+    setting = _setting(sanity_check=True)
+    t = _make_trainer(setting)
+    loader = DeviceCacheLoader(dataset, 16, shuffle=True)
+    assert not t._use_epoch_scan(loader)
+    l, s = t._run_train_epoch(loader, 0)  # runs exactly one step
+    assert np.isfinite(l)
+
+
+def test_plain_dataloader_never_scans(dataset):
+    setting = _setting()
+    t = _make_trainer(setting)
+    loader = DataLoader(dataset, 16, shuffle=True)
+    assert not t._use_epoch_scan(loader)
