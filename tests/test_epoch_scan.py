@@ -164,3 +164,26 @@ def test_plain_dataloader_never_scans(dataset):
     t = _make_trainer(setting)
     loader = DataLoader(dataset, 16, shuffle=True)
     assert not t._use_epoch_scan(loader)
+
+
+def test_scan_multihost_metric_accounting(dataset):
+    """Per-host scanned eval: each host scans its disjoint shard and
+    divides by the HOST-LOCAL example count (r2 VERDICT weak #3); the mean
+    of the per-host means must equal the single-host epoch metrics when
+    the shards are equal-sized."""
+    setting = _setting()
+    t = _make_trainer(setting)
+
+    single = DeviceCacheLoader(dataset, 16, shuffle=False)
+    l_all, s_all = t._run_eval_epoch(single)
+
+    per_host = []
+    for hid in (0, 1):
+        shard = DeviceCacheLoader(dataset, 16, shuffle=False,
+                                  host_id=hid, num_hosts=2)
+        assert shard._host_count() == len(dataset) // 2
+        per_host.append(t._run_eval_epoch(shard))
+    l_mean = sum(l for l, _ in per_host) / 2
+    s_mean = sum(s for _, s in per_host) / 2
+    assert np.isclose(l_mean, l_all, rtol=1e-5)
+    assert np.isclose(s_mean, s_all, rtol=1e-6)
