@@ -72,3 +72,24 @@ def test_engine_crops_oversized_inputs(tmp_path):
     assert len(trainer.epoch_results["train_loss"]) == 1
     score = trainer.evaluate(valid)
     assert 0.0 <= score <= 1.0
+
+
+def test_separable_resample_matches_gather_path():
+    """The MXU (two-einsum) axis-aligned resample must reproduce the
+    gather-based _bilinear_sample exactly, including the zero-outside-
+    extent border convention (coordinates past the edge keep only the
+    partial in-range tap)."""
+    import numpy as np
+
+    from convnets_tpu.data.augment import _bilinear_sample, _separable_resample
+
+    rng = np.random.RandomState(0)
+    n, h, w, c = 4, 19, 23, 3
+    x = jnp.asarray(rng.rand(n, h, w, c).astype(np.float32))
+    ys1 = jnp.asarray(rng.uniform(-1.5, h + 0.5, (n, 11)).astype(np.float32))
+    xs1 = jnp.asarray(rng.uniform(-1.5, w + 0.5, (n, 13)).astype(np.float32))
+    ys2 = jnp.broadcast_to(ys1[:, :, None], (n, 11, 13))
+    xs2 = jnp.broadcast_to(xs1[:, None, :], (n, 11, 13))
+    a = _bilinear_sample(x, xs2, ys2)
+    b = _separable_resample(x, ys1, xs1)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
