@@ -89,8 +89,8 @@ def measure_pipeline(batch: int = 256):
         kind="26", input_size=(3, 32, 32), num_classes=10, batch_size=batch,
         epochs=3, mixed_precision=True, data_augment=True,
         augment_affine=False, data_norm=True, optimizer="sgd",
-        lr_scheduler="none", learning_rate=0.05, early_stop=False,
-        output_dir="/tmp/bench_out",
+        lr_scheduler="none", learning_rate=0.05, loss_reduction="mean",
+        early_stop=False, output_dir="/tmp/bench_out",
     )
     data = DataMngr(setting, root=root)
     trainset = data.load_train()
