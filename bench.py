@@ -163,6 +163,13 @@ def main():
                     break
                 except Exception as e:
                     secondary[f"{name}_224_error"] = str(e)[:120]
+        # real-data pipeline throughput (CINIC RN26 through the production
+        # fit() path: HBM-resident split + whole-epoch scan + on-device
+        # separable augment)
+        try:
+            secondary["pipeline_cinic_rn26_img_s"] = round(measure_pipeline(), 2)
+        except Exception as e:
+            secondary["pipeline_error"] = str(e)[:120]
         record["secondary"] = secondary
 
     print(json.dumps(record))
