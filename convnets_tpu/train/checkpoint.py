@@ -83,8 +83,12 @@ def save_checkpoint(path: str, *, params, model_state, opt_state, lr, loss_scale
     buf = io.BytesIO()
     np.savez(buf, __meta__=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
              **arrays)
-    with open(path, "wb") as f:
+    # atomic publish: the write may run on the async checkpoint thread
+    # while other processes (resume scripts, get_models_scores scans) read
+    tmp = f"{path}.{os.getpid()}.tmp"
+    with open(tmp, "wb") as f:
         f.write(buf.getvalue())
+    os.replace(tmp, path)
     return path
 
 

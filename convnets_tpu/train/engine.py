@@ -72,6 +72,9 @@ class Trainer:
         # every epoch's bookkeeping (tail snapshots for weight averaging,
         # custom logging, ...)
         self.epoch_hook = None
+        # async checkpoint writer (single thread: writes are serialized)
+        self._ckpt_pool = None
+        self._ckpt_future = None
 
     # ------------------------------------------------------------------
     # construction / state
@@ -677,7 +680,9 @@ class Trainer:
                     best_valid_score = valid_score
             if improved:
                 best_snapshot = snapshot()
-                self.save_checkpoint()
+                # async write: the npz serialize+write overlaps the next
+                # epoch (a blocking save costs several scanned epochs)
+                self.save_checkpoint(block=False)
                 print("Best validation metric achieved; parameters snapshotted")
                 epochs_no_improve = 0
             else:
@@ -907,25 +912,56 @@ class Trainer:
     # ------------------------------------------------------------------
     # checkpointing (reference basemodel.py:834-948)
 
-    def save_checkpoint(self, path: Optional[str] = None) -> str:
+    def _ckpt_barrier(self):
+        """Wait for an in-flight async checkpoint write (and surface its
+        error, if any) before anything reads or replaces the file."""
+        if self._ckpt_future is not None:
+            fut, self._ckpt_future = self._ckpt_future, None
+            fut.result()
+
+    def save_checkpoint(self, path: Optional[str] = None,
+                        block: bool = True) -> str:
+        """Write the full-state checkpoint.
+
+        block=False (used by fit()'s improving-epoch saves) moves the
+        serialize+disk write to a background writer thread — on this host
+        the npz write costs seconds, i.e. several scanned CINIC epochs.
+        The device→host gather stays synchronous: the live buffers get
+        donated to the next epoch's step, so they must be read before
+        training continues. A snapshot of epoch_results travels with the
+        payload so later epochs can't mutate what gets written."""
+        import copy
+
         path = path or self.model_path
-        return ckpt.save_checkpoint(
-            path,
+        self._ckpt_barrier()  # one outstanding write at a time
+        payload = dict(
             params=jax.device_get(self.state.params),
             model_state=jax.device_get(self.state.model_state),
             opt_state=jax.device_get(self.state.opt_state),
             lr=jax.device_get(self.state.lr),
             loss_scale=jax.device_get(self.state.loss_scale),
-            epoch_results=self.epoch_results or _fresh_epoch_results(),
+            epoch_results=copy.deepcopy(self.epoch_results
+                                        or _fresh_epoch_results()),
             settings_dict=self.setting.to_dict(),
             scheduler_state=self.scheduler.to_state() if self.scheduler else {},
             optimizer_name=self.optimizer_name,
             extra={"arch": getattr(self.model, "registry_name", self.model.arch),
                    "model_name": self.model.model_name},
         )
+        if block:
+            return ckpt.save_checkpoint(path, **payload)
+        if self._ckpt_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._ckpt_pool = ThreadPoolExecutor(
+                1, thread_name_prefix="ckpt-writer")
+        self._ckpt_future = self._ckpt_pool.submit(
+            ckpt.save_checkpoint, path, **payload)
+        return path
 
     def load_checkpoint(self, path: Optional[str] = None) -> dict:
         """Restore params/opt/scheduler/history; returns the checkpoint meta."""
+        self._ckpt_barrier()  # never read under an in-flight async write
         if path is None:
             path = ckpt.get_last_checkpoint(self.setting.output_dir, self.model.model_name)
             if path is None:

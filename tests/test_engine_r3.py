@@ -229,3 +229,32 @@ def test_full_iteration_still_works():
     assert len(batches) == 3
     ws = np.concatenate([w for _, _, w in batches])
     assert ws.sum() == 40  # padding zero-weighted, all examples seen
+
+
+def test_async_checkpoint_barrier(tmp_path):
+    """save_checkpoint(block=False) runs the write on the ckpt-writer
+    thread; load_checkpoint must barrier on it so an immediate read sees
+    the complete (atomically-published) file."""
+    from convnets_tpu.data.datasets import synthetic_dataset
+    from convnets_tpu.data.loader import DeviceCacheLoader
+
+    setting = Settings(kind=0, input_size=(3, 16, 16), num_classes=4,
+                       batch_size=8, epochs=1, early_stop=False,
+                       output_dir=str(tmp_path))
+    model = build_model("lenet", setting)
+    t = Trainer(model)
+    t.init_state()
+    t.init_optimizer()
+    t.epoch_results = None
+    path = t.save_checkpoint(block=False)
+    t2 = Trainer(build_model("lenet", setting))
+    # same-object barrier: t.load_checkpoint waits for t's own write
+    meta = t.load_checkpoint(path=path)
+    assert meta["optimizer"] == t.optimizer_name
+    # the async write also survives fit(): improving epochs save async and
+    # the end-of-fit history merge reads the file back
+    ds = synthetic_dataset(32, image_shape=(16, 16, 3), num_classes=4)
+    tr = DeviceCacheLoader(ds, 8, shuffle=True)
+    va = DeviceCacheLoader(ds, 8)
+    t2.fit(tr, va)
+    assert t2.epoch_results["total_epochs"] == 1
