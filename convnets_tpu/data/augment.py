@@ -109,8 +109,11 @@ def _separable_resample(x, ys, xs):
     sx = jax.lax.broadcasted_iota(jnp.float32, (1, 1, w), 2)
     wx = jnp.maximum(0.0, 1.0 - jnp.abs(sx - xs[:, :, None]))  # (N,OW,W)
     xf = x.astype(jnp.float32)
-    tmp = jnp.einsum("nih,nhwc->niwc", wy, xf)
-    out = jnp.einsum("njw,niwc->nijc", wx, tmp)
+    # precision='highest': keep the f32 contraction exact on TPU (default
+    # precision would round pixels+weights through bf16 MXU passes and
+    # break bit-parity with the gather path; cost is negligible here)
+    tmp = jnp.einsum("nih,nhwc->niwc", wy, xf, precision="highest")
+    out = jnp.einsum("njw,niwc->nijc", wx, tmp, precision="highest")
     return out.astype(x.dtype)
 
 

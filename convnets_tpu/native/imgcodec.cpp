@@ -12,11 +12,12 @@
 // C ABI (consumed by convnets_tpu/native/__init__.py via ctypes):
 //   cn_decode_file(path, out, out_h, out_w) -> 0 on success
 //     out must hold out_h*out_w*3 bytes; when (out_h,out_w) differs from the
-//     source size the image is bilinearly resized (PIL-compatible: centers
-//     aligned, support-1.0 triangle filter at scale>=1; box-average fallback
-//     for downscale to keep quality without a full antialias pass).
-//   cn_image_size(path, &h, &w) -> 0 on success (decode header only)
+//     source size the image is resized with Pillow's BILINEAR semantics —
+//     separable triangle filter whose support scales with the downscale
+//     factor (antialiased shrink), plain bilinear for upscale.
+//   cn_image_size(path, &h, &w) -> 0 on success (header-only probe)
 
+#include <cmath>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
@@ -131,45 +132,92 @@ bool decode_jpeg(const char* path, std::vector<uint8_t>& rgb, int& h, int& w) {
 
 // ------------------------------------------------------------- resize ----
 
-// Bilinear resize, PIL-convention source coordinates
-// (src = (dst + 0.5) * scale - 0.5), clamped at the borders. Fixed-point
-// weights (16.16) keep the inner loop integer-only on this host's one core.
+// PIL-compatible separable bilinear (triangle) resize. For downscale the
+// filter support scales with the scale factor (antialiasing), exactly as
+// Pillow's Resample.c does for Image.BILINEAR — a fixed 2×2-tap bilinear
+// would alias badly when shrinking. Coefficient tables are precomputed per
+// output index; intermediate rows stay in float (Pillow quantizes the
+// horizontal pass to uint8, so outputs can differ by ~1 LSB).
+struct ResizeCoeffs {
+  std::vector<int> first;      // window start per output index
+  std::vector<int> count;      // window length per output index
+  std::vector<double> weights; // out_size × ksize, normalized
+  int ksize = 0;
+};
+
+void compute_coeffs(int in_size, int out_size, ResizeCoeffs& c) {
+  const double scale = static_cast<double>(in_size) / out_size;
+  const double filterscale = scale < 1.0 ? 1.0 : scale;
+  const double support = 1.0 * filterscale;  // triangle filter support
+  const int ksize = static_cast<int>(std::ceil(support)) * 2 + 1;
+  c.ksize = ksize;
+  c.first.resize(out_size);
+  c.count.resize(out_size);
+  c.weights.assign(static_cast<size_t>(out_size) * ksize, 0.0);
+  for (int i = 0; i < out_size; ++i) {
+    const double center = (i + 0.5) * scale;
+    int xmin = static_cast<int>(center - support + 0.5);
+    if (xmin < 0) xmin = 0;
+    int xmax = static_cast<int>(center + support + 0.5);
+    if (xmax > in_size) xmax = in_size;
+    xmax -= xmin;
+    double* k = &c.weights[static_cast<size_t>(i) * ksize];
+    double total = 0.0;
+    for (int j = 0; j < xmax; ++j) {
+      double w = 1.0 - std::fabs((j + xmin - center + 0.5) / filterscale);
+      if (w < 0) w = 0;
+      k[j] = w;
+      total += w;
+    }
+    if (total > 0)
+      for (int j = 0; j < xmax; ++j) k[j] /= total;
+    c.first[i] = xmin;
+    c.count[i] = xmax;
+  }
+}
+
 void resize_bilinear(const uint8_t* src, int sh, int sw,
                      uint8_t* dst, int dh, int dw) {
   if (sh == dh && sw == dw) {
     std::memcpy(dst, src, static_cast<size_t>(sh) * sw * 3);
     return;
   }
-  const double sy = static_cast<double>(sh) / dh;
-  const double sx = static_cast<double>(sw) / dw;
-  std::vector<int> x0(dw), x1(dw), wx(dw);
-  for (int x = 0; x < dw; ++x) {
-    double fx = (x + 0.5) * sx - 0.5;
-    if (fx < 0) fx = 0;
-    if (fx > sw - 1) fx = sw - 1;
-    x0[x] = static_cast<int>(fx);
-    x1[x] = x0[x] + 1 < sw ? x0[x] + 1 : sw - 1;
-    wx[x] = static_cast<int>((fx - x0[x]) * 65536.0 + 0.5);
-  }
-  for (int y = 0; y < dh; ++y) {
-    double fy = (y + 0.5) * sy - 0.5;
-    if (fy < 0) fy = 0;
-    if (fy > sh - 1) fy = sh - 1;
-    const int y0 = static_cast<int>(fy);
-    const int y1 = y0 + 1 < sh ? y0 + 1 : sh - 1;
-    const int wy = static_cast<int>((fy - y0) * 65536.0 + 0.5);
-    const uint8_t* r0 = src + static_cast<size_t>(y0) * sw * 3;
-    const uint8_t* r1 = src + static_cast<size_t>(y1) * sw * 3;
-    uint8_t* out = dst + static_cast<size_t>(y) * dw * 3;
+  ResizeCoeffs cx, cy;
+  compute_coeffs(sw, dw, cx);
+  compute_coeffs(sh, dh, cy);
+
+  // horizontal pass: (sh, sw) -> (sh, dw), float intermediate
+  std::vector<float> tmp(static_cast<size_t>(sh) * dw * 3);
+  for (int y = 0; y < sh; ++y) {
+    const uint8_t* row = src + static_cast<size_t>(y) * sw * 3;
+    float* out = tmp.data() + static_cast<size_t>(y) * dw * 3;
     for (int x = 0; x < dw; ++x) {
-      const int xa = x0[x] * 3, xb = x1[x] * 3, fxw = wx[x];
-      for (int ch = 0; ch < 3; ++ch) {
-        const int top = (r0[xa + ch] << 16) + (r0[xb + ch] - r0[xa + ch]) * fxw;
-        const int bot = (r1[xa + ch] << 16) + (r1[xb + ch] - r1[xa + ch]) * fxw;
-        const int64_t v = static_cast<int64_t>(top) +
-                          ((static_cast<int64_t>(bot - top) * wy) >> 16);
-        out[x * 3 + ch] = static_cast<uint8_t>((v + 32768) >> 16);
+      const double* k = &cx.weights[static_cast<size_t>(x) * cx.ksize];
+      const int first = cx.first[x], count = cx.count[x];
+      double acc0 = 0, acc1 = 0, acc2 = 0;
+      for (int j = 0; j < count; ++j) {
+        const uint8_t* p = row + static_cast<size_t>(first + j) * 3;
+        acc0 += k[j] * p[0];
+        acc1 += k[j] * p[1];
+        acc2 += k[j] * p[2];
       }
+      out[x * 3 + 0] = static_cast<float>(acc0);
+      out[x * 3 + 1] = static_cast<float>(acc1);
+      out[x * 3 + 2] = static_cast<float>(acc2);
+    }
+  }
+
+  // vertical pass: (sh, dw) -> (dh, dw), round+clamp to uint8
+  for (int y = 0; y < dh; ++y) {
+    const double* k = &cy.weights[static_cast<size_t>(y) * cy.ksize];
+    const int first = cy.first[y], count = cy.count[y];
+    uint8_t* out = dst + static_cast<size_t>(y) * dw * 3;
+    for (int x = 0; x < dw * 3; ++x) {
+      double acc = 0;
+      for (int j = 0; j < count; ++j)
+        acc += k[j] * tmp[static_cast<size_t>(first + j) * dw * 3 + x];
+      int v = static_cast<int>(acc + 0.5);
+      out[x] = static_cast<uint8_t>(v < 0 ? 0 : (v > 255 ? 255 : v));
     }
   }
 }
@@ -214,14 +262,57 @@ int cn_decode_file(const char* path, uint8_t* out, int out_h, int out_w) {
   return 0;
 }
 
-// Source dimensions without a full decode path for the caller's probe.
+// Source dimensions from the file header only — NO pixel decode. The
+// decode-at-native-size path calls this before cn_decode_file, so a full
+// decode here would double the cold-epoch decode cost.
 int cn_image_size(const char* path, int* h, int* w) {
-  std::vector<uint8_t> rgb;  // full decode for simplicity; probe is one-off
-  int hh = 0, ww = 0;
-  if (!decode_any(path, rgb, hh, ww)) return 1;
-  *h = hh;
-  *w = ww;
-  return 0;
+  FILE* f = fopen(path, "rb");
+  if (!f) return 1;
+  uint8_t sig[8];
+  const size_t got = fread(sig, 1, 8, f);
+
+  if (got >= 8 && !png_sig_cmp(sig, 0, 8)) {
+    png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING,
+                                             nullptr, nullptr, nullptr);
+    png_infop info = png ? png_create_info_struct(png) : nullptr;
+    if (!png || !info || setjmp(png_jmpbuf(png))) {
+      if (png) png_destroy_read_struct(&png, info ? &info : nullptr, nullptr);
+      fclose(f);
+      return 1;
+    }
+    png_init_io(png, f);
+    png_set_sig_bytes(png, 8);
+    png_read_info(png, info);
+    *h = static_cast<int>(png_get_image_height(png, info));
+    *w = static_cast<int>(png_get_image_width(png, info));
+    png_destroy_read_struct(&png, &info, nullptr);
+    fclose(f);
+    return 0;
+  }
+
+  if (got >= 2 && sig[0] == 0xFF && sig[1] == 0xD8) {
+    rewind(f);
+    jpeg_decompress_struct cinfo;
+    JpegErr jerr;
+    cinfo.err = jpeg_std_error(&jerr.mgr);
+    jerr.mgr.error_exit = jpeg_err_exit;
+    if (setjmp(jerr.jb)) {
+      jpeg_destroy_decompress(&cinfo);
+      fclose(f);
+      return 1;
+    }
+    jpeg_create_decompress(&cinfo);
+    jpeg_stdio_src(&cinfo, f);
+    jpeg_read_header(&cinfo, TRUE);
+    *h = static_cast<int>(cinfo.image_height);
+    *w = static_cast<int>(cinfo.image_width);
+    jpeg_destroy_decompress(&cinfo);
+    fclose(f);
+    return 0;
+  }
+
+  fclose(f);
+  return 1;
 }
 
 }  // extern "C"

@@ -86,9 +86,16 @@ def save_checkpoint(path: str, *, params, model_state, opt_state, lr, loss_scale
     # atomic publish: the write may run on the async checkpoint thread
     # while other processes (resume scripts, get_models_scores scans) read
     tmp = f"{path}.{os.getpid()}.tmp"
-    with open(tmp, "wb") as f:
-        f.write(buf.getvalue())
-    os.replace(tmp, path)
+    try:
+        with open(tmp, "wb") as f:
+            f.write(buf.getvalue())
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
+        raise
     return path
 
 

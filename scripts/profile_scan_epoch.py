@@ -49,11 +49,12 @@ def main():
     with jax.profiler.trace(args.trace_dir):
         trainer._run_train_epoch(trainset, 1)
     dt = time.perf_counter() - t0
+    n_real = trainer._loader_host_count(trainset)  # excludes padded rows
     print(json.dumps({
         "trace_dir": args.trace_dir, "scan_steps": steps,
         "epoch_s": round(dt, 3),
         "step_ms": round(dt / steps * 1e3, 3),
-        "img_per_s": round(steps * args.batch / dt, 1),
+        "img_per_s": round(n_real / dt, 1),
     }))
     print(f"parse with: python scripts/analyze_xplane.py {args.trace_dir} {steps}")
 

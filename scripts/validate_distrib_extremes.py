@@ -45,30 +45,33 @@ def main():
         )
         data = DataMngr(setting, root="/root/reference/data/CINIC-10")
         trainset = data.load_train()
+        n_seen = trainset._host_count()
         if steps is not None and isinstance(trainset, DeviceCacheLoader):
             # batch 2 over 90k images = 45k scanned steps — cap the epoch
-            # to `steps` batches by sub-slicing the index matrices via a
-            # truncated wrapper (the point is "it runs", not a full epoch)
-            base = trainset
+            # to `steps` batches by sub-slicing the index matrices (the
+            # point is "it runs", not a full epoch)
+            def truncated(self=trainset, _orig=type(trainset).epoch_matrices):
+                idx, w = _orig(self)
+                return idx[:steps], w[:steps]
 
-            class Truncated(DeviceCacheLoader):
-                def epoch_matrices(self):
-                    idx, w = DeviceCacheLoader.epoch_matrices(self)
-                    return idx[:steps], w[:steps]
-
-            trainset = Truncated(base.dataset, batch)
+            trainset.epoch_matrices = truncated
+            n_seen = steps * batch
         trainer = Trainer(build_model("resnet", setting))
         trainer.init_state()
         t0 = time.perf_counter()
         loss, score = trainer._run_train_epoch(trainset, 0)
         dt = time.perf_counter() - t0
         n_steps = steps if steps is not None else len(trainset)
+        # _run_train_epoch divides by the FULL host count; rescale the
+        # per-example loss to the examples this (possibly truncated)
+        # epoch actually saw
+        loss = float(loss) * trainer._loader_host_count(trainset) / n_seen
         results[f"batch_{batch}"] = {
-            "steps": int(n_steps), "loss": round(float(loss), 4),
+            "steps": int(n_steps), "mean_loss": round(loss, 4),
             "wall_s": round(dt, 1), "ok": bool(np.isfinite(loss)),
         }
         print(f"batch {batch}: {n_steps} steps in {dt:.1f}s, "
-              f"loss {loss:.4f} OK", flush=True)
+              f"mean loss {loss:.4f} OK", flush=True)
 
     os.makedirs("data/output", exist_ok=True)
     with open("data/output/distrib_extremes.json", "w") as f:

@@ -115,3 +115,35 @@ def test_env_gate_restores(monkeypatch):
     assert not native.available()
     monkeypatch.delenv("CONVNETS_TPU_NATIVE_DECODE")
     assert native.available()
+
+
+def test_downscale_matches_pil_antialiased(tmp_path):
+    """Downscale must use PIL's scaled-support (antialiased) BILINEAR, not
+    a fixed 2-tap bilinear — a 2-tap shrink drops most source pixels."""
+    rng = np.random.RandomState(11)
+    big = tmp_path / "big.png"
+    Image.fromarray(rng.randint(0, 255, (128, 96, 3), np.uint8)).save(big)
+    a = native.decode_image(str(big), (32, 24))
+    b = np.asarray(
+        Image.open(big).convert("RGB").resize((24, 32), Image.BILINEAR),
+        np.uint8)
+    d = np.abs(a.astype(int) - b.astype(int))
+    assert d.max() <= 2 and d.mean() <= 0.5, (d.max(), d.mean())
+
+
+def test_image_size_is_header_only_fast(tmp_path):
+    """The size probe must not pay a full decode (it runs before every
+    native-size decode)."""
+    import time
+
+    rng = np.random.RandomState(12)
+    big = tmp_path / "big.png"
+    Image.fromarray(rng.randint(0, 255, (1024, 1024, 3), np.uint8)).save(big)
+    t0 = time.perf_counter()
+    for _ in range(20):
+        assert native.image_size(str(big)) == (1024, 1024)
+    probe = (time.perf_counter() - t0) / 20
+    t0 = time.perf_counter()
+    native.decode_image(str(big))
+    full = time.perf_counter() - t0
+    assert probe < full / 5, (probe, full)
