@@ -38,7 +38,9 @@ def main():
         setting = Settings(
             kind="18", input_size=(3, 32, 32), num_classes=10,
             batch_size=batch, epochs=1, optimizer="sgd", momentum=0.9,
-            lr_scheduler="none", learning_rate=0.05, data_augment=True,
+            # tiny lr: the check is "the config compiles and executes with
+            # finite loss", and batch-2 BN statistics diverge at real lrs
+            lr_scheduler="none", learning_rate=1e-3, data_augment=True,
             augment_affine=False, data_norm=True, loss_reduction="mean",
             mixed_precision=True, early_stop=False,
             output_dir="/tmp/extremes_out",
