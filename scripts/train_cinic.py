@@ -41,6 +41,8 @@ def main():
     ap.add_argument("--out", default="data/output")
     ap.add_argument("--data-root", default=CINIC_ROOT)
     ap.add_argument("--tag", default="r2")
+    ap.add_argument("--seed", type=int, default=None,
+                    help="override Settings.seed (reproducibility sweeps)")
     ap.add_argument("--results", default=None,
                     help="path for the run-results JSON")
     ap.add_argument("--cpu", action="store_true", help="force CPU (smoke)")
@@ -71,6 +73,7 @@ def main():
         early_stop=False, loss_optim=False,
         mixed_precision=True, output_dir=args.out,
         sanity_check=bool(args.sanity),
+        **({"seed": args.seed} if args.seed is not None else {}),
     )
 
     data = DataMngr(setting, root=args.data_root)
