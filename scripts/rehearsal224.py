@@ -66,9 +66,12 @@ def main():
                          " well under one chip's HBM")
     ap.add_argument("--out", default="data/output")
     ap.add_argument("--tag", default="r3")
+    ap.add_argument("--subset-root", default=os.path.join("data", "rehearsal224"),
+                    help="symlink-tree location; use a distinct root per "
+                         "--per-class size (an existing tree is reused as-is)")
     args = ap.parse_args()
 
-    root = os.path.join("data", "rehearsal224")
+    root = args.subset_root
     train_dir = build_subset(CINIC_ROOT, root, "train", args.per_class)
     valid_dir = build_subset(CINIC_ROOT, root, "valid", args.valid_per_class)
 
