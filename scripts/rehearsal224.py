@@ -97,10 +97,14 @@ def main():
     cache_dir = os.path.join("data", "cache")
     train_ds = ImageFolderDataset(
         train_dir, image_size=dec,
-        disk_cache=os.path.join(cache_dir, f"rehearsal224-train-{args.decode}.npy"))
+        disk_cache=os.path.join(
+            cache_dir,
+            f"rehearsal224-train-{args.per_class}x{args.decode}.npy"))
     valid_ds = ImageFolderDataset(
         valid_dir, image_size=dec,
-        disk_cache=os.path.join(cache_dir, f"rehearsal224-valid-{args.decode}.npy"))
+        disk_cache=os.path.join(
+            cache_dir,
+            f"rehearsal224-valid-{args.valid_per_class}x{args.decode}.npy"))
     if args.resident:
         from convnets_tpu.data.loader import DeviceCacheLoader
 
