@@ -149,7 +149,20 @@ class ImageFolderDataset(Dataset):
         loaded = None
         if self._disk_cache_path and os.path.exists(self._disk_cache_path):
             arr = np.load(self._disk_cache_path, mmap_mode="r")
-            if arr.shape == (len(self._paths), *self.image_shape):
+            # decoder-identity check: native decode matches PIL bit-exactly,
+            # but their RESIZE paths differ by ±1 LSB — a resized cache
+            # written under one decoder must not be silently reused under
+            # the other (cached runs would stop being bit-reproducible
+            # across hosts with/without the g++ toolchain). A missing
+            # sidecar (legacy cache) is accepted as-is.
+            tag = None
+            try:
+                with open(self._disk_cache_path + ".decoder") as f:
+                    tag = f.read().strip()
+            except OSError:
+                pass
+            if arr.shape == (len(self._paths), *self.image_shape) and (
+                    tag is None or tag in ("any", self._decoder_id())):
                 loaded = arr
                 self._disk_cache_path = None  # nothing left to persist
         if loaded is not None:
@@ -171,6 +184,18 @@ class ImageFolderDataset(Dataset):
     def load(self, indices):
         x, y = self.load_raw(indices)
         return x.astype(np.float32) / 255.0, y
+
+    def _decoder_id(self) -> str:
+        """Identity of the decode path for the disk-cache sidecar tag.
+        Without a resize, native (libpng/libjpeg) and PIL decode are
+        bit-identical (tests/test_native_decode.py), so the cache is
+        decoder-agnostic ("any"); resized caches carry which resampler
+        produced them."""
+        if self._size is None:
+            return "any"
+        from convnets_tpu import native
+
+        return "native" if native.available() else "pil"
 
     def _decode(self, i: int) -> np.ndarray:
         # native C++ decode+resize first (convnets_tpu/native: ~2× PIL on
@@ -221,6 +246,8 @@ class ImageFolderDataset(Dataset):
                 tmp = f"{path}.{os.getpid()}.{threading.get_ident()}.tmp.npy"
                 np.save(tmp, self._cache)
                 os.replace(tmp, path)
+                with open(path + ".decoder", "w") as f:
+                    f.write(self._decoder_id())
             except OSError:
                 pass  # cache persistence is best-effort
 

@@ -26,9 +26,19 @@ class DataMngr:
     # ImageNet-class data streams through the host DataLoader instead)
     DEVICE_CACHE_AUTO_BYTES = 1 << 30
 
+    # Where the reference keeps the bundled CINIC-10 tree; used as the
+    # default data root when the repo-local data/CINIC-10 is absent (the
+    # repo does not re-bundle 270k PNGs — reference mngrdata.py:45-50)
+    REFERENCE_CINIC_DIR = "/root/reference/data/CINIC-10"
+
     def __init__(self, setting, root: str | None = None):
         self.setting = setting
-        self.root = root or DataMngr.CINIC_DIR
+        if root is None:
+            root = DataMngr.CINIC_DIR
+            if not os.path.isdir(root) and os.path.isdir(
+                    DataMngr.REFERENCE_CINIC_DIR):
+                root = DataMngr.REFERENCE_CINIC_DIR
+        self.root = root
         self.batch_size = setting.batch_size
         self.data_augment = setting.data_augment
         self.data_norm = setting.data_norm

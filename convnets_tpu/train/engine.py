@@ -518,10 +518,67 @@ class Trainer:
         idx_mat, w_mat = loader.epoch_matrices()
         return data, labels, idx_mat, w_mat
 
+    def _run_chunked_train_epoch(self, loader, epoch_index: int,
+                                 augment: bool, norm: bool):
+        """Shard-rotation epoch (ShardRotationLoader, data/stream.py):
+        one scanned sub-epoch per resident chunk; the loader pushes chunk
+        i+1 host→device while chunk i's scan runs. The per-chunk loss
+        readback doubles as the pipeline throttle — it keeps at most two
+        shards co-resident in HBM (stream.py epoch_chunks)."""
+        _, rep_s = self._shardings()
+        stats = self._resolve_stats(loader)
+        base_key = key_for(self.setting.seed, "dropout", epoch_index)
+        loss_sum = correct_sum = 0.0
+        fn = None
+        for ci, ch in enumerate(loader.epoch_chunks(rep_s)):
+            if fn is None:
+                fn = self._get_train_epoch_fn(augment, norm, stats,
+                                              ch.idx_mat.shape[0])
+            self.state, loss, correct = fn(
+                self.state, ch.data, ch.labels, ch.idx_mat, ch.w_mat,
+                jax.random.fold_in(base_key, ci))
+            loss_sum += float(loss)
+            correct_sum += float(correct)
+        n = self._loader_host_count(loader)
+        return loss_sum / n, correct_sum / n
+
+    def _run_chunked_eval_epoch(self, loader, norm: bool,
+                                collect_preds: bool = False):
+        _, rep_s = self._shardings()
+        stats = self._resolve_stats(loader)
+        base_key = key_for(self.setting.seed, "eval")
+        loss_sum = correct_sum = 0.0
+        all_preds, all_targets = [], []
+        fn = None
+        for ch in loader.epoch_chunks(rep_s):
+            if fn is None:
+                fn = self._get_eval_epoch_fn(norm, stats, ch.idx_mat.shape[0],
+                                             collect_preds)
+            out = fn(self.state, ch.data, ch.labels, ch.idx_mat, ch.w_mat,
+                     base_key)
+            loss_sum += float(out[0])
+            correct_sum += float(out[1])
+            if collect_preds:
+                mask = ch.w_mat.reshape(-1) > 0
+                all_preds.append(
+                    np.asarray(out[2]).reshape(-1)[mask])
+                all_targets.append(
+                    ch.host_labels[ch.idx_mat.reshape(-1)[mask]])
+        n = self._loader_host_count(loader)
+        result = (loss_sum / n, correct_sum / n)
+        if collect_preds:
+            preds = np.concatenate(all_preds) if all_preds else np.zeros(0, np.int64)
+            targets = np.concatenate(all_targets) if all_targets else np.zeros(0, np.int64)
+            return (*result, targets, preds)
+        return result
+
     def _run_train_epoch(self, loader: DataLoader, epoch_index: int):
         augment, norm = self._resolve_flags(loader, train=True)
         debug = bool(self.setting.debug)
         if self._use_epoch_scan(loader, debug):
+            if getattr(loader, "chunked", False):
+                return self._run_chunked_train_epoch(loader, epoch_index,
+                                                     augment, norm)
             data, labels, idx_mat, w_mat = self._epoch_inputs(loader)
             fn = self._get_train_epoch_fn(augment, norm,
                                           self._resolve_stats(loader),
@@ -574,6 +631,8 @@ class Trainer:
     def _run_eval_epoch(self, loader: DataLoader, collect_preds: bool = False):
         _, norm = self._resolve_flags(loader, train=False)
         if self._use_epoch_scan(loader):
+            if getattr(loader, "chunked", False):
+                return self._run_chunked_eval_epoch(loader, norm, collect_preds)
             data, labels, idx_mat, w_mat = self._epoch_inputs(loader)
             fn = self._get_eval_epoch_fn(norm, self._resolve_stats(loader),
                                          idx_mat.shape[0], collect_preds)
@@ -661,60 +720,72 @@ class Trainer:
         print("\n=== RESUME TRAINING ===\n" if resume else "\n=== START TRAINING ===\n")
 
         epoch = 0
-        for epoch in range(self.setting.epochs):
-            curr_lr = self.scheduler.lr
+        try:
+            for epoch in range(self.setting.epochs):
+                curr_lr = self.scheduler.lr
 
-            train_loss, train_score = self._run_train_epoch(trainset, epoch)
-            valid_loss, valid_score = self._run_eval_epoch(validset)
+                train_loss, train_score = self._run_train_epoch(trainset, epoch)
+                valid_loss, valid_score = self._run_eval_epoch(validset)
 
-            self._end_epoch(train_loss, train_score, valid_loss, valid_score,
-                            curr_lr, epoch + 1)
+                self._end_epoch(train_loss, train_score, valid_loss, valid_score,
+                                curr_lr, epoch + 1)
 
-            if self.setting.loss_optim:
-                improved = valid_loss < best_valid_loss
-                if improved:
-                    best_valid_loss = valid_loss
-            else:
-                improved = valid_score > best_valid_score
-                if improved:
-                    best_valid_score = valid_score
-            if improved:
-                best_snapshot = snapshot()
-                # async write: the npz serialize+write overlaps the next
-                # epoch (a blocking save costs several scanned epochs)
-                self.save_checkpoint(block=False)
-                print("Best validation metric achieved; parameters snapshotted")
-                epochs_no_improve = 0
-            else:
-                epochs_no_improve += 1
-
-            metric = valid_loss if self.setting.loss_optim else valid_score
-            new_lr = self.scheduler.step(metric)
-            if curr_lr != new_lr:
-                if isinstance(self.scheduler, ReduceLROnPlateau):
-                    # rollback to best params when plateau drops the LR
-                    # (basemodel.py:465-467; the reference restores model
-                    # weights only, optimizer moments stay). Install copies:
-                    # the snapshot must survive future donations.
-                    self.state = self.state._replace(
-                        params=jax.tree.map(jnp.copy, best_snapshot[0]),
-                        model_state=jax.tree.map(jnp.copy, best_snapshot[1]),
-                        lr=jnp.asarray(new_lr, jnp.float32),
-                    )
-                    print(f"No improvement after {self.setting.lr_patience + 1} epochs: "
-                          f"lr -> {new_lr:.2e}, continuing from best parameters")
+                if self.setting.loss_optim:
+                    improved = valid_loss < best_valid_loss
+                    if improved:
+                        best_valid_loss = valid_loss
                 else:
-                    # schedule-driven LR change (step/cosine): no rollback
-                    self.state = self.state._replace(
-                        lr=jnp.asarray(new_lr, jnp.float32))
+                    improved = valid_score > best_valid_score
+                    if improved:
+                        best_valid_score = valid_score
+                if improved:
+                    best_snapshot = snapshot()
+                    # async write: the npz serialize+write overlaps the next
+                    # epoch (a blocking save costs several scanned epochs)
+                    self.save_checkpoint(block=False)
+                    print("Best validation metric achieved; parameters snapshotted")
+                    epochs_no_improve = 0
+                else:
+                    epochs_no_improve += 1
 
-            if self.epoch_hook is not None:
-                self.epoch_hook(self, epoch)
+                metric = valid_loss if self.setting.loss_optim else valid_score
+                new_lr = self.scheduler.step(metric)
+                if curr_lr != new_lr:
+                    if isinstance(self.scheduler, ReduceLROnPlateau):
+                        # rollback to best params when plateau drops the LR
+                        # (basemodel.py:465-467; the reference restores model
+                        # weights only, optimizer moments stay). Install copies:
+                        # the snapshot must survive future donations.
+                        self.state = self.state._replace(
+                            params=jax.tree.map(jnp.copy, best_snapshot[0]),
+                            model_state=jax.tree.map(jnp.copy, best_snapshot[1]),
+                            lr=jnp.asarray(new_lr, jnp.float32),
+                        )
+                        print(f"No improvement after {self.setting.lr_patience + 1} epochs: "
+                              f"lr -> {new_lr:.2e}, continuing from best parameters")
+                    else:
+                        # schedule-driven LR change (step/cosine): no rollback
+                        self.state = self.state._replace(
+                            lr=jnp.asarray(new_lr, jnp.float32))
 
-            if self.setting.early_stop and self.setting.es_patience + 1 == epochs_no_improve:
-                print(f"Early stopped after {epoch + 1} epochs "
-                      f"({epochs_no_improve} non-improving)")
-                break
+                if self.epoch_hook is not None:
+                    self.epoch_hook(self, epoch)
+
+                if self.setting.early_stop and self.setting.es_patience + 1 == epochs_no_improve:
+                    print(f"Early stopped after {epoch + 1} epochs "
+                          f"({epochs_no_improve} non-improving)")
+                    break
+        except BaseException:
+            # A mid-run failure (e.g. an axon relay wedge) must not swallow
+            # an async checkpoint-write error silently: the best checkpoint
+            # may be missing. Surface it as a warning — never mask the
+            # original exception with the writer's.
+            if self._ckpt_future is not None:
+                fut, self._ckpt_future = self._ckpt_future, None
+                err = fut.exception()
+                if err is not None:
+                    print(f"WARNING: async checkpoint write failed: {err!r}")
+            raise
 
         jax.block_until_ready(self.state.params)
         train_time = time.perf_counter() - start_time
@@ -918,6 +989,21 @@ class Trainer:
         if self._ckpt_future is not None:
             fut, self._ckpt_future = self._ckpt_future, None
             fut.result()
+
+    def close(self):
+        """Flush the async checkpoint writer and release its thread.
+        Raises if the last in-flight write failed."""
+        try:
+            self._ckpt_barrier()
+        finally:
+            if self._ckpt_pool is not None:
+                self._ckpt_pool.shutdown(wait=True)
+                self._ckpt_pool = None
+
+    def __del__(self):
+        pool = getattr(self, "_ckpt_pool", None)
+        if pool is not None:
+            pool.shutdown(wait=False)
 
     def save_checkpoint(self, path: Optional[str] = None,
                         block: bool = True) -> str:

@@ -25,13 +25,17 @@ DATA_FIELDS = ("batch_size", "data_augment", "data_norm")
 class Tuner:
     def __init__(self, arch: str, setting: Settings,
                  make_loaders: Callable[[Settings], tuple],
-                 optimizer: Optional[str] = None):
+                 optimizer: Optional[str] = None, mesh=None):
         """make_loaders(setting) -> (train_loader, valid_loader); called
-        once up front and again per sample iff data hyper-params vary."""
+        once up front and again per sample iff data hyper-params vary.
+        `mesh` is passed to every sample's Trainer so tuned samples train
+        sharded over the same device mesh as regular fits (and the mesh is
+        built once, not per sample)."""
         self.arch = arch
         self.setting = setting
         self.make_loaders = make_loaders
         self.optimizer = optimizer or getattr(setting, "optimizer", "adam")
+        self.mesh = mesh
         self.version = int(time.time())
         self.best_score = -float("inf")
         self.best_path: Optional[str] = None
@@ -65,7 +69,7 @@ class Tuner:
                 trainset, validset = self.make_loaders(self.setting)
 
             model = build_model(self.arch, self.setting)
-            trainer = Trainer(model, optimizer=self.optimizer)
+            trainer = Trainer(model, optimizer=self.optimizer, mesh=self.mesh)
             trainer.fit(trainset, validset)
             score = trainer.evaluate(validset, info=False)
 

@@ -56,15 +56,24 @@ def main():
 
     # MERGE with the existing scoreboard, best row per config: later rounds
     # hand-curate RESULTS_CINIC.json (seed studies, improved recipes), and a
-    # partial re-collection must never clobber a better published row
+    # partial re-collection must never clobber a better published row.
+    # The whole existing dict is preserved — curated top-level keys
+    # (seed_study, extra_configs, notes, ...) survive a re-collection;
+    # only "runs" is rebuilt here.
+    out = {"dataset": "CINIC-10"}
     if os.path.exists("RESULTS_CINIC.json"):
         with open("RESULTS_CINIC.json") as f:
-            existing = json.load(f).get("runs", [])
+            out = json.load(f)
+        existing = out.get("runs", [])
+
+        def score(row):  # rows without a numeric score never win the merge
+            v = row.get("test_top1_pct")
+            return v if isinstance(v, (int, float)) else float("-inf")
+
         best = {}
         for row in existing + rows:
             key = row["config"]
-            if (key not in best
-                    or row["test_top1_pct"] > best[key]["test_top1_pct"]):
+            if key not in best or score(row) > score(best[key]):
                 best[key] = row
         # best row per config, plus the explicitly-recorded non-parity
         # attempts the curated file keeps as history (MobileNet seed study)
@@ -72,7 +81,7 @@ def main():
             r for r in existing
             if r.get("parity") is False and r is not best.get(r["config"])
         ]
-    out = {"dataset": "CINIC-10", "runs": rows}
+    out["runs"] = rows
     with open("RESULTS_CINIC.json", "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps([{k: row[k] for k in
