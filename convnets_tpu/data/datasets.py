@@ -139,9 +139,18 @@ class ImageFolderDataset(Dataset):
             self.image_shape = tuple(x.shape[1:])
         else:
             self.image_shape = (*image_size, 3)
+        decoded_bytes = len(self._paths) * int(np.prod(self.image_shape))
         if cache is None:
-            cache = (len(self._paths) * int(np.prod(self.image_shape))
-                     <= self.CACHE_BUDGET_BYTES)
+            cache = decoded_bytes <= self.CACHE_BUDGET_BYTES
+        # splits too big for the RAM budget but with a disk-cache path
+        # decode straight into a disk-backed memmap instead (the chunked
+        # HBM-rotation loader, data/stream.py, feeds from it) — on this
+        # 128 GB host the page cache effectively IS the RAM cache, without
+        # pinning the budget
+        self._memmap_build = (not cache and disk_cache is not None
+                              and decoded_bytes > self.CACHE_BUDGET_BYTES)
+        if self._memmap_build:
+            cache = True
         # disk_cache: persisted decode cache (one .npy of the whole split's
         # uint8 tensor). Decoding 90k 32×32 PNGs costs ~85 s on this 1-core
         # host; with the file present, later processes mmap it instead.
@@ -168,6 +177,20 @@ class ImageFolderDataset(Dataset):
         if loaded is not None:
             self._cache = loaded
             self._cached = np.ones(len(self._paths), bool)
+            self._memmap_build = False
+        elif self._memmap_build:
+            # decode-once-to-disk: rows land in a .building.npy memmap,
+            # atomically renamed to the cache path when every image is
+            # decoded (a crashed half-decoded build is rebuilt from scratch)
+            from numpy.lib.format import open_memmap
+
+            os.makedirs(os.path.dirname(self._disk_cache_path) or ".",
+                        exist_ok=True)
+            self._build_path = self._disk_cache_path + ".building.npy"
+            self._cache = open_memmap(
+                self._build_path, mode="w+", dtype=np.uint8,
+                shape=(len(self._paths), *self.image_shape))
+            self._cached = np.zeros(len(self._paths), bool)
         else:
             self._cache = (np.zeros((len(self._paths), *self.image_shape), np.uint8)
                            if cache else None)
@@ -239,6 +262,20 @@ class ImageFolderDataset(Dataset):
             if path is None:
                 return
             self._disk_cache_path = None
+            if self._memmap_build:
+                # rows already live in the .building.npy memmap — flush and
+                # atomically publish, then reopen read-only (the writable
+                # handle would otherwise keep dirty pages pinned)
+                try:
+                    self._cache.flush()
+                    os.replace(self._build_path, path)
+                    with open(path + ".decoder", "w") as f:
+                        f.write(self._decoder_id())
+                    self._cache = np.load(path, mmap_mode="r")
+                except OSError:
+                    pass
+                self._memmap_build = False
+                return
             if self._cache.nbytes < self.MIN_PERSIST_BYTES:
                 return
             try:

@@ -70,6 +70,18 @@ class DataMngr:
                 ds, self.batch_size, shuffle=shuffle, seed=self.setting.seed,
                 host_id=host_id, num_hosts=num_hosts,
             )
+        if (hasattr(ds, "load_raw")
+                and os.environ.get("CONVNETS_TPU_STREAM", "1") == "1"):
+            # >HBM-budget split: chunked HBM rotation (data/stream.py) —
+            # decode-once disk cache + double-buffered resident shards,
+            # instead of per-epoch host decode (which caps this 1-core
+            # host at ~35-160 img/s at 256²)
+            from convnets_tpu.data.stream import ShardRotationLoader
+
+            return ShardRotationLoader(
+                ds, self.batch_size, shuffle=shuffle, seed=self.setting.seed,
+                host_id=host_id, num_hosts=num_hosts,
+            )
         return DataLoader(
             ds, self.batch_size, shuffle=shuffle, seed=self.setting.seed,
             num_workers=self.setting.num_workers,

@@ -531,6 +531,13 @@ class ConvBNReLU(Sequential):
                                       self._conv.kernel[0],
                                       self._conv.stride, train)):
             return super().apply(variables, x, train=train, rng=rng)
+        if train and pallas.spmd_active():
+            # the fused train kernel's batch statistics are per-shard under
+            # shard_map, which would break the sync-BN numerics the GSPMD
+            # lax path guarantees — unfused composition instead (its Conv2d
+            # child still rides the Pallas kernel via spmd_call; BN's
+            # global-batch reductions stay in GSPMD where they are synced)
+            return super().apply(variables, x, train=train, rng=rng)
 
         c, bn = self._conv, self._bn
         params, state = variables["params"], variables["state"]

@@ -19,12 +19,10 @@ import os
 import jax
 
 from convnets_tpu.core.shapes import to_pair
-from convnets_tpu.ops.pallas.conv import (
-    block_diag_weight, conv2d_fused, conv2d_stats, conv2d_train,
-    depthwise_conv2d, depthwise_train, grouped_conv2d_train,
-)
-from convnets_tpu.ops.pallas.fused import conv_bn_relu_train
-from convnets_tpu.ops.pallas.pool import avg_pool2d, max_pool2d, pool2d_train
+from convnets_tpu.ops.pallas import conv as _conv_mod
+from convnets_tpu.ops.pallas import fused as _fused_mod
+from convnets_tpu.ops.pallas import pool as _pool_mod
+from convnets_tpu.ops.pallas.conv import block_diag_weight, depthwise_conv2d
 
 __all__ = [
     "block_diag_weight", "conv2d_fused", "conv2d_stats", "conv2d_train",
@@ -36,10 +34,18 @@ __all__ = [
 ]
 
 
+def interpret_mode() -> bool:
+    """CONVNETS_TPU_PALLAS_INTERPRET=1: run every kernel through the Pallas
+    interpreter (pure-XLA emulation) — lets the kernel envelope, routing and
+    SPMD wrapping be exercised on the CPU test mesh without Mosaic."""
+    return os.environ.get("CONVNETS_TPU_PALLAS_INTERPRET", "0") == "1"
+
+
 def available() -> bool:
-    """True when running on a real TPU backend (Mosaic lowering)."""
+    """True when running on a real TPU backend (Mosaic lowering), or when
+    interpret mode emulates one."""
     try:
-        return jax.devices()[0].platform == "tpu"
+        return jax.devices()[0].platform == "tpu" or interpret_mode()
     except Exception:
         return False
 
@@ -52,11 +58,152 @@ def mode() -> str:
 
 
 def enabled() -> bool:
-    """Opt-in AND single-device only: pallas_call has no GSPMD partitioning
-    rule, so under a multi-chip sharded step it would force replication (or
-    fail to partition). Multi-chip Pallas needs shard_map integration —
-    future work; the lax path is used there."""
-    return available() and jax.device_count() == 1 and mode() in ("1", "auto")
+    """Opt-in. Single-device kernels run as plain pallas_calls; under a
+    multi-device mesh the batch-parallel kernels ride inside shard_map
+    over the mesh's data axis (spmd_call below) — pallas_call itself has
+    no GSPMD partitioning rule, so the r3 device_count()==1 gate is
+    replaced by the shard_map envelope (r3 VERDICT #3). Multi-device use
+    requires the Trainer's mesh to be registered (parallel.mesh
+    set_active_mesh); without one the lax path serves."""
+    if not (available() and mode() in ("1", "auto")):
+        return False
+    if jax.device_count() == 1:
+        return True
+    return _active_mesh() is not None
+
+
+def _active_mesh():
+    from convnets_tpu.parallel.mesh import active_mesh
+
+    return active_mesh()
+
+
+def spmd_active() -> bool:
+    return jax.device_count() > 1 and _active_mesh() is not None
+
+
+def spmd_call(fn, x, *consts, **kwargs):
+    """Run a batch-parallel kernel under the active mesh.
+
+    shard_map over the mesh's trailing (data) axis: `x` sharded on batch,
+    `consts` (weights/scales) replicated, output sharded on batch. The
+    kernel traces against the per-device batch slice, so its tile pickers
+    and VMEM budgets size against local shapes. Identity wrapper on a
+    single device.
+
+    Differentiation: shard_map is transposable — a replicated operand's
+    cotangent is psum'd over the mesh, so dw from the per-shard custom
+    VJPs sums over shards exactly like the lax path's global conv
+    backward. BN-stat-producing kernels (conv_bn_relu_train) are NOT
+    routed here: their batch statistics are per-shard, which would break
+    the sync-BN numerics the GSPMD lax path guarantees — ConvBNReLU falls
+    back to the unfused path under SPMD (see nn/layers.py).
+    """
+    if not spmd_active():
+        return fn(x, *consts, **kwargs)
+    import functools
+
+    from jax.sharding import PartitionSpec as P
+
+    mesh = _active_mesh()
+    ax = mesh.axis_names[-1]
+    if x.shape[0] % mesh.shape[ax] != 0:
+        # batch doesn't divide the mesh (e.g. direct kernel calls outside
+        # the sharded step, or a registered mesh outliving its Trainer):
+        # the envelope is an optimization, not a requirement — run plain
+        return fn(x, *consts, **kwargs)
+    f = functools.partial(fn, **kwargs)
+    return jax.shard_map(
+        f, mesh=mesh,
+        in_specs=(P(ax),) + tuple(P() for _ in consts),
+        out_specs=P(ax),
+        # pallas_call's out ShapeDtypeStructs carry no varying-mesh-axes
+        # annotation; the batch-parallel contract (x sharded, consts
+        # replicated, out sharded) is exactly what the specs above state
+        check_vma=False,
+    )(x, *consts)
+
+
+# ----------------------------------------------------------------------
+# Public kernel surface: each wrapper injects the interpret flag (CPU-mesh
+# emulation) and rides spmd_call under an active multi-device mesh, so
+# nn/layers.py routes through one spelling on one chip and on a mesh alike.
+
+
+def _itp(interpret):
+    return interpret_mode() if interpret is None else interpret
+
+
+def conv2d_train(x, w, stride=1, padding=0, interpret=None):
+    itp = _itp(interpret)
+    return spmd_call(
+        lambda a, b: _conv_mod.conv2d_train(a, b, stride, padding, itp), x, w)
+
+
+def depthwise_train(x, w, stride=1, padding=0, interpret=None):
+    itp = _itp(interpret)
+    return spmd_call(
+        lambda a, b: _conv_mod.depthwise_train(a, b, stride, padding, itp),
+        x, w)
+
+
+def grouped_conv2d_train(x, w, groups, stride=1, padding=0, interpret=None):
+    itp = _itp(interpret)
+    return spmd_call(
+        lambda a, b: _conv_mod.grouped_conv2d_train(
+            a, b, groups, stride, padding, itp), x, w)
+
+
+def conv2d_fused(x, w, scale=None, shift=None, *, stride=1, padding=0,
+                 relu=False, interpret=None):
+    itp = _itp(interpret)
+
+    def k(a, b, *rest):
+        s = rest[0] if scale is not None else None
+        sh = rest[-1] if shift is not None else None
+        return _conv_mod.conv2d_fused(a, b, s, sh, stride=stride,
+                                      padding=padding, relu=relu,
+                                      interpret=itp)
+
+    consts = (w,) + tuple(t for t in (scale, shift) if t is not None)
+    return spmd_call(k, x, *consts)
+
+
+def conv2d_stats(x, w, *, stride=1, padding=0, interpret=None):
+    """NOT spmd-wrapped: the returned per-batch sums are whole-batch
+    quantities — under SPMD the caller (conv_bn_relu_train) is not routed
+    at all (sync-BN numerics; see nn/layers.py ConvBNReLU)."""
+    return _conv_mod.conv2d_stats(x, w, stride=stride, padding=padding,
+                                  interpret=_itp(interpret))
+
+
+def conv_bn_relu_train(x, w, scale, bias, stride=1, padding=0, groups=1,
+                       eps=1e-5, relu=True, interpret=None):
+    """Single-device only (per-shard batch stats would break sync-BN) —
+    ConvBNReLU falls back to the unfused path when spmd_active()."""
+    return _fused_mod.conv_bn_relu_train(x, w, scale, bias, stride, padding,
+                                         groups, eps, relu, _itp(interpret))
+
+
+def max_pool2d(x, kernel, stride=None, padding=0, interpret=None):
+    itp = _itp(interpret)
+    return spmd_call(
+        lambda a: _pool_mod.max_pool2d(a, kernel, stride, padding,
+                                       interpret=itp), x)
+
+
+def avg_pool2d(x, kernel, stride=None, padding=0, interpret=None):
+    itp = _itp(interpret)
+    return spmd_call(
+        lambda a: _pool_mod.avg_pool2d(a, kernel, stride, padding,
+                                       interpret=itp), x)
+
+
+def pool2d_train(x, pool_mode, kernel, stride=None, padding=0, interpret=None):
+    itp = _itp(interpret)
+    return spmd_call(
+        lambda a: _pool_mod.pool2d_train(a, pool_mode, kernel, stride,
+                                         padding, itp), x)
 
 
 def route_conv(h: int, cin: int, cout: int, k: int, stride, train: bool) -> bool:

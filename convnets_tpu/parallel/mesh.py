@@ -21,6 +21,23 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+# The mesh the current Trainer is sharding over, for compute layers that
+# need a concrete mesh at trace time (ops/pallas spmd_call wraps Mosaic
+# kernels in shard_map over this mesh's data axis — pallas_call has no
+# GSPMD partitioning rule of its own). One process drives one mesh at a
+# time; Trainer registers its mesh on construction.
+_ACTIVE_MESH: Optional[Mesh] = None
+
+
+def set_active_mesh(mesh: Optional[Mesh]) -> None:
+    global _ACTIVE_MESH
+    _ACTIVE_MESH = mesh
+
+
+def active_mesh() -> Optional[Mesh]:
+    return _ACTIVE_MESH
+
+
 def make_mesh(devices: Optional[Sequence] = None, axis_name: str = "data",
               mesh_shape=None) -> Mesh:
     """1-D data-parallel mesh over all (or the given) devices.

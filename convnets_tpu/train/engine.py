@@ -57,6 +57,12 @@ class Trainer:
         self.setting = model.setting
         self.optimizer_name = optimizer or getattr(self.setting, "optimizer", "adam")
         self.mesh = mesh if mesh is not None else (make_mesh() if use_mesh else None)
+        if self.mesh is not None:
+            # register for compute layers that need a concrete mesh at
+            # trace time (ops/pallas spmd_call wraps Mosaic kernels in
+            # shard_map over this mesh — r3 VERDICT #3)
+            from convnets_tpu.parallel.mesh import set_active_mesh
+            set_active_mesh(self.mesh)
         self.state: Optional[TrainState] = None
         self.scheduler: Optional[ReduceLROnPlateau] = None
         self.epoch_results: Optional[dict] = None
@@ -75,6 +81,11 @@ class Trainer:
         # async checkpoint writer (single thread: writes are serialized)
         self._ckpt_pool = None
         self._ckpt_future = None
+        # data-order clock (VERDICT r3 #6): the loaders fit() is feeding,
+        # whose epoch counters travel with every checkpoint so resume
+        # replays the uninterrupted run's permutations bit-for-bit
+        self._fit_loaders = None
+        self._resume_loader_epochs = None
 
     # ------------------------------------------------------------------
     # construction / state
@@ -688,10 +699,34 @@ class Trainer:
         r["total_epochs"] = best
 
     def fit(self, trainset: DataLoader, validset: DataLoader, resume: bool = False):
+        self._fit_loaders = {"train": trainset, "valid": validset}
         if resume:
             if self.state is None or self.epoch_results is None:
                 raise RuntimeError("resume=True requires load_checkpoint() first")
             self.update_epoch_results()
+            # restore the data-order clock: each loader's epoch counter is
+            # rewound to its value when the resumed checkpoint was written,
+            # so the next epoch draws the same seeded permutation the
+            # uninterrupted run would have (reference torch DataLoaders
+            # don't checkpoint order; our determinism story does)
+            if self._resume_loader_epochs:
+                for name, loader in self._fit_loaders.items():
+                    if name in self._resume_loader_epochs and hasattr(loader, "epoch"):
+                        loader.epoch = int(self._resume_loader_epochs[name])
+                # replay the scheduler step the uninterrupted run applied
+                # right AFTER the checkpointed epoch: improving-epoch saves
+                # happen before scheduler.step(metric) (reference ordering,
+                # basemodel.py:441-467), so the restored scheduler is one
+                # step behind the run it came from. The plateau-drop case
+                # needs no param rollback here — the checkpoint already
+                # holds the best params the original run rolled back to.
+                # Gated on _resume_loader_epochs so pre-r4 checkpoints keep
+                # their old (one-step-behind) resume behavior unchanged.
+                if self.epoch_results["valid_loss"]:
+                    metric = (self.epoch_results["valid_loss"][-1]
+                              if self.setting.loss_optim
+                              else self.epoch_results["valid_score"][-1])
+                    self.scheduler.step(metric)
             best_valid_score = self.epoch_results["valid_score"][-1] if self.epoch_results["valid_score"] else -1
             best_valid_loss = self.epoch_results["valid_loss"][-1] if self.epoch_results["valid_loss"] else float("inf")
         else:
@@ -718,13 +753,25 @@ class Trainer:
         jax.block_until_ready(self.state.params)
         start_time = time.perf_counter()
         print("\n=== RESUME TRAINING ===\n" if resume else "\n=== START TRAINING ===\n")
+        if self.setting.debug:
+            # per-layer shape/param trace (reference save_outshape prints,
+            # basemodel.py:766-779) + per-module activation stats on one
+            # synthetic batch (debug_trace) before the first epoch
+            self.print_summary()
+            self.debug_trace()
 
+        # global epoch index: continues the dropout/augment RNG stream
+        # across resume so a resumed run folds the same per-epoch keys the
+        # uninterrupted run would (0 on a fresh fit; the completed-epoch
+        # count after resume truncation)
+        epoch_offset = int(self.epoch_results["total_epochs"])
         epoch = 0
         try:
             for epoch in range(self.setting.epochs):
                 curr_lr = self.scheduler.lr
 
-                train_loss, train_score = self._run_train_epoch(trainset, epoch)
+                train_loss, train_score = self._run_train_epoch(
+                    trainset, epoch_offset + epoch)
                 valid_loss, valid_score = self._run_eval_epoch(validset)
 
                 self._end_epoch(train_loss, train_score, valid_loss, valid_score,
@@ -742,7 +789,10 @@ class Trainer:
                     best_snapshot = snapshot()
                     # async write: the npz serialize+write overlaps the next
                     # epoch (a blocking save costs several scanned epochs)
-                    self.save_checkpoint(block=False)
+                    self.save_checkpoint(block=False, loader_epochs={
+                        name: int(ldr.epoch)
+                        for name, ldr in self._fit_loaders.items()
+                        if hasattr(ldr, "epoch")})
                     print("Best validation metric achieved; parameters snapshotted")
                     epochs_no_improve = 0
                 else:
@@ -800,7 +850,11 @@ class Trainer:
             best_meta = self.load_checkpoint(path=self.model_path)
             total_results["train_epochs"] = best_meta["epoch_results"]["train_epochs"]
             self.epoch_results = total_results
-            self.save_checkpoint(path=self.model_path)
+            # the merged checkpoint keeps the BEST epoch's data-order clock
+            # (not the final counters) — resume must replay from there
+            self.save_checkpoint(
+                path=self.model_path,
+                loader_epochs=best_meta.get("extra", {}).get("loader_epochs"))
         except FileNotFoundError:
             self.epoch_results = total_results
 
@@ -910,6 +964,14 @@ class Trainer:
             with jax.profiler.trace(profile_dir):
                 return self.test(loader, num_warmup=num_warmup)
         self._require_state("test")
+        # re-pin reproducible order before the timed loop (the reference
+        # calls set_reproducible_mode(seed) here, basemodel.py:650-651):
+        # the loader's epoch counter is our only order state, so resetting
+        # it makes the benchmark's batch order — and hence the subset
+        # accuracy samples — a function of the seed alone, independent of
+        # how many epochs the loader served before
+        if hasattr(loader, "epoch"):
+            loader.epoch = 0
         _, norm = self._resolve_flags(loader, train=False)
         step_fn = self._get_eval_step(norm, stats=self._resolve_stats(loader))
         data_s, _ = self._shardings()
@@ -1006,7 +1068,8 @@ class Trainer:
             pool.shutdown(wait=False)
 
     def save_checkpoint(self, path: Optional[str] = None,
-                        block: bool = True) -> str:
+                        block: bool = True,
+                        loader_epochs: Optional[dict] = None) -> str:
         """Write the full-state checkpoint.
 
         block=False (used by fit()'s improving-epoch saves) moves the
@@ -1030,7 +1093,11 @@ class Trainer:
             scheduler_state=self.scheduler.to_state() if self.scheduler else {},
             optimizer_name=self.optimizer_name,
             extra={"arch": getattr(self.model, "registry_name", self.model.arch),
-                   "model_name": self.model.model_name},
+                   "model_name": self.model.model_name,
+                   # data-order clock: loader epoch counters at save time
+                   # (fit passes them; None for manual saves)
+                   **({"loader_epochs": dict(loader_epochs)}
+                      if loader_epochs else {})},
         )
         if block:
             return ckpt.save_checkpoint(
@@ -1097,6 +1164,9 @@ class Trainer:
         hp = {k: v for k, v in meta["settings"].items()
               if k in self.setting.get_hparams_names()}
         self.setting.load_values(hp)
+        # data-order clock for fit(resume=True): rewind the loaders to the
+        # permutation epoch this checkpoint was written at
+        self._resume_loader_epochs = meta.get("extra", {}).get("loader_epochs")
         return meta
 
     def update_checkpoint(self, path: Optional[str] = None):
@@ -1104,3 +1174,23 @@ class Trainer:
 
     def print_summary(self):
         print(self.model.summary())
+
+    def debug_trace(self, batch_size: int = 2, train: bool = False):
+        """Per-layer forward trace: one synthetic batch through the
+        un-jitted net with every module's path, output shape, dtype and
+        activation mean/std printed (nn.trace.activation_trace) — the
+        per-layer tracing depth of the reference's debug mode
+        (basemodel.py:124-126, :766-779). fit() runs this once before the
+        first epoch when Settings.debug is set."""
+        from convnets_tpu.nn.trace import activation_trace
+
+        self._require_state("debug_trace")
+        x = jax.random.uniform(
+            key_for(self.setting.seed, "bench"),
+            (batch_size, *self.model.input_shape_nhwc), jnp.float32)
+        variables = {"params": self.state.params,
+                     "state": self.state.model_state}
+        with activation_trace(self.model.module):
+            self.model.module.apply(
+                variables, x, train=train,
+                rng=key_for(self.setting.seed, "dropout"))
