@@ -36,10 +36,10 @@ def make_setting(args, seed):
     return Settings(
         kind="standard", input_size=(3, 32, 32), num_classes=10,
         batch_size=256, epochs=args.epochs,
-        learning_rate=args.lr, weight_decay=5e-4, dropout_rate=0.0,
+        learning_rate=args.lr, weight_decay=args.wd, dropout_rate=args.dropout,
         optimizer="sgd", momentum=0.9, nesterov=False,
         lr_scheduler="cosine", lr_min=1e-5, lr_warmup_epochs=5,
-        data_augment=True, augment_affine=False, data_norm=True,
+        data_augment=True, augment_affine=args.affine, data_norm=True,
         loss_reduction="mean", label_smoothing=0.0,
         early_stop=False, loss_optim=False,
         mixed_precision=True, output_dir=args.out, seed=seed,
@@ -64,6 +64,13 @@ def main():
     ap.add_argument("--lr", type=float, default=0.2)
     ap.add_argument("--tail", type=int, default=16,
                     help="number of final epochs to weight-average")
+    ap.add_argument("--wd", type=float, default=5e-4)
+    ap.add_argument("--dropout", type=float, default=0.0,
+                    help="classifier dropout (r4 seed-mean probe: the 300ep "
+                         "overfit evidence suggests regularization headroom)")
+    ap.add_argument("--affine", action="store_true",
+                    help="add rotation/shear/scale augmentation on top of "
+                         "crop+flip (r4 probe)")
     ap.add_argument("--out", default="data/output")
     ap.add_argument("--data-root", default=CINIC_ROOT)
     ap.add_argument("--tag", default="r3")
@@ -130,7 +137,7 @@ def main():
     trainer.load_checkpoint(best_ckpt_path)
     # load_checkpoint re-applies saved hparams onto the live Settings
     # (reference semantics) — restore the flags this script relies on
-    setting.data_augment, setting.augment_affine = True, False
+    setting.data_augment, setting.augment_affine = True, args.affine
     setting.data_norm = True
     base_params = snapshot_host_params()
     base_state = jax.tree.map(np.asarray, trainer.state.model_state)
@@ -174,9 +181,11 @@ def main():
         "reference_pct": 74.39, "parity": bool(top1 >= 74.39),
         "checkpoint": best_ckpt_path,
         "hparams": {"lr": args.lr, "epochs": args.epochs, "batch": 256,
-                    "optimizer": "sgd", "momentum": 0.9, "weight_decay": 5e-4,
+                    "optimizer": "sgd", "momentum": 0.9,
+                    "weight_decay": args.wd, "dropout": args.dropout,
                     "scheduler": "cosine", "warmup": 5, "seed": args.seed,
-                    "augment": "crop+flip", "tail_avg": len(tail_params),
+                    "augment": "crop+flip+affine" if args.affine else "crop+flip",
+                    "tail_avg": len(tail_params),
                     "bn_reestimated": winner != "best"},
     })
     # persist the winning weights+stats as a checkpoint

@@ -31,6 +31,24 @@ CANDIDATES = [
     ("async_all_fusion", {"xla_tpu_enable_async_collective_fusion": "true"}),
     ("flash_layouts", {"xla_tpu_use_minor_sharding_for_major_trivial_input":
                        "true"}),
+    # r4: the r3 sweep's one winner was scoped_vmem_32mb (+3%) — refine the
+    # grid around it, and battery-test further cost-model/fusion levers
+    # (unknown names are rejected by the server and skipped)
+    ("scoped_vmem_20mb", {"xla_tpu_scoped_vmem_limit_kib": "20480"}),
+    ("scoped_vmem_24mb", {"xla_tpu_scoped_vmem_limit_kib": "24576"}),
+    ("scoped_vmem_28mb", {"xla_tpu_scoped_vmem_limit_kib": "28672"}),
+    ("scoped_vmem_40mb", {"xla_tpu_scoped_vmem_limit_kib": "40960"}),
+    ("scoped_vmem_48mb", {"xla_tpu_scoped_vmem_limit_kib": "49152"}),
+    ("scoped_vmem_64mb", {"xla_tpu_scoped_vmem_limit_kib": "65536"}),
+    ("vmem32_latency", {"xla_tpu_scoped_vmem_limit_kib": "32768",
+                        "xla_tpu_enable_latency_hiding_scheduler": "true"}),
+    ("rwb_fusion_off", {"xla_tpu_rwb_fusion": "false"}),
+    ("vector_load_fusion", {"xla_tpu_vector_load_fusion_limit": "1024"}),
+    ("licm", {"xla_tpu_enable_vmem_to_vmem_dmas": "true"}),
+    ("dot_reduction", {"xla_tpu_enable_dot_strength_reduction": "false"}),
+    ("bloat_factor", {"xla_tpu_async_copy_bandwidth_scaling_factor": "1.5"}),
+    ("vmem32_rwb_off", {"xla_tpu_scoped_vmem_limit_kib": "32768",
+                        "xla_tpu_rwb_fusion": "false"}),
 ]
 
 
