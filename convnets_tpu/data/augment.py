@@ -27,6 +27,24 @@ def normalize(x, mean=CINIC_MEAN, std=CINIC_STD):
     return (x - mean) / std
 
 
+def cutout(key, x, size: int):
+    """DeVries & Taylor cutout: one size×size square per image zeroed, the
+    square's CENTER uniform over the image (so it may hang off the edges —
+    the paper's convention, which makes the expected occluded area smaller
+    near borders). Pure elementwise masking: fuses into the augment chain
+    on the VPU, no gathers."""
+    n, h, w, _ = x.shape
+    ky, kx = jax.random.split(key)
+    cy = jax.random.randint(ky, (n,), 0, h).astype(jnp.float32)
+    cx = jax.random.randint(kx, (n,), 0, w).astype(jnp.float32)
+    yy = jax.lax.broadcasted_iota(jnp.float32, (1, h, 1), 1)
+    xx = jax.lax.broadcasted_iota(jnp.float32, (1, 1, w), 2)
+    half = size / 2.0
+    keep = ((jnp.abs(yy - cy[:, None, None]) >= half)
+            | (jnp.abs(xx - cx[:, None, None]) >= half))
+    return x * keep[..., None].astype(x.dtype)
+
+
 def _affine_matrices(key, n, *, degrees, shear_deg, scale_range, crop_pad, hflip_p, h, w):
     """Per-image inverse 2x3 affine matrices (output→input coords)."""
     k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)

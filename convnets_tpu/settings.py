@@ -183,6 +183,9 @@ class Settings(HyperParams):
     # assume. Reported losses are sum-over-batch ÷ dataset either way.
     DEF_LOSS_REDUCTION = "sum"       # "sum" | "mean"
     DEF_LABEL_SMOOTHING = 0.0        # ε for smoothed CE (0 = reference CE)
+    DEF_CUTOUT = 0                   # side of the random zeroed square
+    #                                  (0 = off); runs on device inside the
+    #                                  train step (data/augment.py::cutout)
 
     # TPU/SPMD environment defaults (replace the reference's DEF_DEVICE)
     DEF_DEVICE_CACHE = None  # None → auto: keep splits resident in HBM when they fit
@@ -213,6 +216,7 @@ class Settings(HyperParams):
         "augment_affine",
         "loss_reduction",
         "label_smoothing",
+        "cutout",
     )
 
     def __init__(
@@ -260,6 +264,7 @@ class Settings(HyperParams):
         augment_affine=None,
         loss_reduction=None,
         label_smoothing=None,
+        cutout=None,
     ):
         super().__init__()
 
@@ -307,6 +312,7 @@ class Settings(HyperParams):
             augment_affine=augment_affine,
             label_smoothing=label_smoothing,
             loss_reduction=loss_reduction,
+            cutout=cutout,
         )
         # None → DEF_* default, via the same reflection scheme as the
         # reference (settings.py:294-299).

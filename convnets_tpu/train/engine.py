@@ -27,9 +27,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from convnets_tpu import ops
+from convnets_tpu.core.aot import jit_with_options
 from convnets_tpu.core.rng import key_for
 from convnets_tpu.data.augment import (
-    augment_batch, center_crop_resize, normalize, random_resized_crop_batch,
+    augment_batch, center_crop_resize, cutout, normalize,
+    random_resized_crop_batch,
 )
 from convnets_tpu.data.loader import DataLoader, device_prefetch
 from convnets_tpu.models.base import Model
@@ -152,12 +154,19 @@ class Trainer:
             "std": jnp.asarray(stats[1], jnp.float32),
         }
 
+        cut = int(getattr(self.setting, "cutout", 0) or 0)
+
         def preprocess(x, aug_key):
             if x.dtype == jnp.uint8:
                 # raw bytes arrive on device; dequantize here (fused by XLA
                 # into the augment/normalize chain)
                 x = x.astype(jnp.float32) / 255.0
             target_hw = model.input_shape_nhwc[:2]
+            cut_key = None
+            if augment and cut > 0:
+                # split only when cutout is on: the published r3 recipes'
+                # augment RNG stream must stay bit-identical at cutout=0
+                aug_key, cut_key = jax.random.split(aug_key)
             if augment and tuple(x.shape[1:3]) != tuple(target_hw):
                 # 224-class path (BASELINE.json config #3): raw images come
                 # off the loader larger than the model input; crop+resize
@@ -169,6 +178,11 @@ class Trainer:
                 x = center_crop_resize(x, tuple(target_hw))
             if norm:
                 x = normalize(x, **norm_kw)
+            if augment and cut > 0:
+                # Settings.cutout: random square occlusion, zeroed AFTER
+                # normalize (a zero in normalized space is the dataset
+                # mean — the cutout paper's convention)
+                x = cutout(cut_key, x, cut)
             return x.astype(model.policy.compute_dtype)
 
         return preprocess
@@ -264,6 +278,7 @@ class Trainer:
             )
         else:
             fn = jax.jit(train_step, donate_argnums=(0,))
+        fn = jit_with_options(fn)
         self._train_step_fns[key] = fn
         return fn
 
@@ -302,6 +317,7 @@ class Trainer:
             )
         else:
             fn = jax.jit(eval_step)
+        fn = jit_with_options(fn)
         self._eval_step_fns[key] = fn
         return fn
 
@@ -387,7 +403,7 @@ class Trainer:
         batch slice locally from its replica of the split."""
         if self.mesh is None:
             donate = (0,) if donate_state else ()
-            return jax.jit(epoch_fn, donate_argnums=donate)
+            return jit_with_options(jax.jit(epoch_fn, donate_argnums=donate))
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         rep = replicated(self.mesh)
@@ -395,10 +411,12 @@ class Trainer:
         in_s = (rep, rep, rep, batch1, batch1, rep)
         if donate_state:
             out_s = (rep,) + (rep,) * n_scalars
-            return jax.jit(epoch_fn, in_shardings=in_s, out_shardings=out_s,
-                           donate_argnums=(0,))
+            return jit_with_options(
+                jax.jit(epoch_fn, in_shardings=in_s, out_shardings=out_s,
+                        donate_argnums=(0,)))
         out_s = (rep,) * n_scalars + ((batch1,) if preds_out else ())
-        return jax.jit(epoch_fn, in_shardings=in_s, out_shardings=out_s)
+        return jit_with_options(
+            jax.jit(epoch_fn, in_shardings=in_s, out_shardings=out_s))
 
     def _get_bn_step(self, augment: bool, norm: bool, stats=None):
         """Forward-only train-mode step that refreshes BN running stats at

@@ -87,10 +87,30 @@ def main():
           f"({nbytes / (t_put - t_disp) / (1 << 20):.0f} MB/s apparent); "
           f"total {t_all - t0:.3f} s", flush=True)
 
+    # --- parallel streams: does the relay serialize device_puts? --------
+    # if concurrent puts scale, the ShardRotationLoader should split each
+    # chunk's transfer across threads
+    from concurrent.futures import ThreadPoolExecutor
+
+    par = {}
+    for nthreads in (2, 4, 8):
+        parts = np.array_split(host, nthreads)
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(nthreads) as ex:
+            bufs = list(ex.map(jax.device_put, parts))
+        for b in bufs:
+            fence(b)
+        dt = time.perf_counter() - t0
+        par[nthreads] = round(nbytes / dt / (1 << 20), 1)
+        print(f"  {nthreads} parallel puts: {dt:.3f} s = "
+              f"{par[nthreads]} MB/s", flush=True)
+        del bufs
+
     out = {
         "metric": "h2d_bandwidth", "mb": args.mb,
         "plain_MBps": round(bw_plain, 1),
         "under_compute_MBps": round(nbytes / (t_put - t_disp) / (1 << 20), 1),
+        "parallel_MBps": par,
         "img_s_at_256sq": round(bw_plain * (1 << 20) / 196608, 1),
         "img_s_at_224sq": round(bw_plain * (1 << 20) / 150528, 1),
     }

@@ -40,6 +40,7 @@ def make_setting(args, seed):
         optimizer="sgd", momentum=0.9, nesterov=False,
         lr_scheduler="cosine", lr_min=1e-5, lr_warmup_epochs=5,
         data_augment=True, augment_affine=args.affine, data_norm=True,
+        cutout=args.cutout,
         loss_reduction="mean", label_smoothing=0.0,
         early_stop=False, loss_optim=False,
         mixed_precision=True, output_dir=args.out, seed=seed,
@@ -68,6 +69,8 @@ def main():
     ap.add_argument("--dropout", type=float, default=0.0,
                     help="classifier dropout (r4 seed-mean probe: the 300ep "
                          "overfit evidence suggests regularization headroom)")
+    ap.add_argument("--cutout", type=int, default=0,
+                    help="device-side cutout square size (r4 probe)")
     ap.add_argument("--affine", action="store_true",
                     help="add rotation/shear/scale augmentation on top of "
                          "crop+flip (r4 probe)")
@@ -184,7 +187,8 @@ def main():
                     "optimizer": "sgd", "momentum": 0.9,
                     "weight_decay": args.wd, "dropout": args.dropout,
                     "scheduler": "cosine", "warmup": 5, "seed": args.seed,
-                    "augment": "crop+flip+affine" if args.affine else "crop+flip",
+                    "augment": ("crop+flip+affine" if args.affine else "crop+flip")
+                    + (f"+cutout{args.cutout}" if args.cutout else ""),
                     "tail_avg": len(tail_params),
                     "bn_reestimated": winner != "best"},
     })

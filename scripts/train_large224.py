@@ -75,6 +75,9 @@ def main():
     ap.add_argument("--chunk-gb", type=float, default=2.0)
     ap.add_argument("--out", default="data/output")
     ap.add_argument("--tag", default="r4")
+    ap.add_argument("--decode-only", action="store_true",
+                    help="build the disk decode cache and exit (run with "
+                         "PALLAS_AXON_POOL_IPS= so the TPU stays free)")
     args = ap.parse_args()
 
     train_dir = build_merged_subset("data/large224", args.images)
@@ -132,6 +135,11 @@ def main():
                   f"({hi / el:.0f} img/s)", flush=True)
     decode_s = time.perf_counter() - t_decode0
     print(f"decode cache ready in {decode_s:.0f} s", flush=True)
+    if args.decode_only:
+        if not valid_ds._cached.all():
+            valid_ds.load_raw(np.arange(len(valid_ds)))
+        print("decode-only: caches published, exiting", flush=True)
+        return
 
     trainset = ShardRotationLoader(
         train_ds, args.batch, shuffle=True, seed=setting.seed,

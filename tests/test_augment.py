@@ -93,3 +93,41 @@ def test_separable_resample_matches_gather_path():
     a = _bilinear_sample(x, xs2, ys2)
     b = _separable_resample(x, ys1, xs1)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_cutout_masks_one_square():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from convnets_tpu.data.augment import cutout
+
+    x = jnp.ones((4, 16, 16, 3), jnp.float32)
+    y = np.asarray(cutout(jax.random.key(0), x, 8))
+    zeros = (y == 0).all(axis=-1)          # (N, H, W) occluded mask
+    for i in range(4):
+        n0 = int(zeros[i].sum())
+        # center uniform over the image: the square may hang off the
+        # edges, so 16 <= occluded area <= 64 for size 8 on 16x16
+        assert 4 * 4 <= n0 <= 8 * 8
+        ys, xs = np.where(zeros[i])
+        # occlusion is one contiguous axis-aligned rectangle
+        assert (ys.max() - ys.min() + 1) * (xs.max() - xs.min() + 1) == n0
+    # kept pixels untouched
+    assert float(y.max()) == 1.0
+
+
+def test_cutout_zero_size_is_identity_stream():
+    """Settings.cutout=0 must not perturb the augment RNG stream: the
+    preprocess path only splits the key when cutout is on."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from convnets_tpu.data.augment import augment_batch
+
+    key = jax.random.key(7)
+    x = jax.random.uniform(jax.random.key(1), (2, 16, 16, 3))
+    a = augment_batch(key, x, do_affine=False)
+    b = augment_batch(key, x, do_affine=False)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
