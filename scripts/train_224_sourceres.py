@@ -54,6 +54,11 @@ def main():
     ap.add_argument("--eval-split", default="test")
     ap.add_argument("--out", default="data/output")
     ap.add_argument("--tag", default="r4")
+    ap.add_argument("--remat", action="store_true",
+                    help="checkpoint residual blocks: RN50@224 with the full "
+                         "180k-image split resident sits at the HBM cliff "
+                         "(90k resident trains, 180k faults the worker); "
+                         "remat trades ~30% step time for the headroom")
     args = ap.parse_args()
 
     import numpy as np
@@ -98,7 +103,7 @@ def main():
         lr_scheduler="step", lr_step_size=args.lr_step, lr_factor=0.1,
         data_augment=True, data_norm=True,
         loss_reduction="mean", early_stop=False, loss_optim=False,
-        mixed_precision=True, output_dir=args.out,
+        mixed_precision=True, output_dir=args.out, remat=args.remat,
     )
 
     trainset = DeviceCacheLoader(big, args.batch, shuffle=True,
