@@ -54,6 +54,9 @@ def main():
     ap.add_argument("--eval-split", default="test")
     ap.add_argument("--out", default="data/output")
     ap.add_argument("--tag", default="r4")
+    ap.add_argument("--max-images", type=int, default=0,
+                    help="subsample the merged split to N images (seeded "
+                         "permutation); 0 = use all")
     ap.add_argument("--remat", action="store_true",
                     help="checkpoint residual blocks: RN50@224 with the full "
                          "180k-image split resident sits at the HBM cliff "
@@ -87,6 +90,10 @@ def main():
     big = ArrayDataset(np.concatenate(xs), np.concatenate(ys),
                        class_names=names)
     del xs, ys
+    if args.max_images and len(big) > args.max_images:
+        keep = np.random.default_rng(0).permutation(len(big))[:args.max_images]
+        big = ArrayDataset(big.images[keep], big.labels[keep],
+                           class_names=names)
     eval_ds = ImageFolderDataset(
         os.path.join(CINIC_ROOT, args.eval_split),
         disk_cache=os.path.join(cache_dir, f"CINIC-10-{args.eval_split}.npy"))
