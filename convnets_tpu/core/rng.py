@@ -37,6 +37,32 @@ def key_for(seed: int, stream: str, *extra: int) -> jax.Array:
     return key
 
 
+def hw_dropout_key(key: jax.Array) -> jax.Array:
+    """Rewrap a threefry key as an `unsafe_rbg` key for dropout masks.
+
+    Threefry bernoulli costs ~20 rounds of int32 arithmetic per element; on
+    DenseNet-121@224 (which applies dropout inside every dense layer,
+    reference densenet.py:105-140 — ~120 masks/step over the fattest
+    activations in the zoo) that is 250 ms of a 391 ms step. `unsafe_rbg`
+    lowers to XLA's RngBitGenerator (the TPU hardware RNG instruction):
+    measured 390.9 → 217.4 ms (data/output/dn121_dropout_ab.json). Dropout
+    needs per-step statistical independence, not threefry's counter-based
+    splittability guarantees, so the "unsafe" derivation is fine here.
+
+    The rbg key data is derived deterministically from the threefry key, so
+    runs remain reproducible per seed. Only the dropout stream is rewrapped —
+    init/augment/data keys stay threefry and published-run reproducibility of
+    dropout-free recipes is bit-identical. Gate: CONVNETS_TPU_HW_RNG=0.
+    """
+    bits = jax.random.bits(key, (4,), "uint32")
+    return jax.random.wrap_key_data(bits, impl="unsafe_rbg")
+
+
+def use_hw_dropout() -> bool:
+    import os
+    return os.environ.get("CONVNETS_TPU_HW_RNG", "1") != "0"
+
+
 class RngStream:
     """A stateful convenience wrapper handing out fresh subkeys.
 

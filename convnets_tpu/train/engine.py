@@ -28,7 +28,7 @@ import numpy as np
 
 from convnets_tpu import ops
 from convnets_tpu.core.aot import jit_with_options
-from convnets_tpu.core.rng import key_for
+from convnets_tpu.core.rng import key_for, hw_dropout_key, use_hw_dropout
 from convnets_tpu.data.augment import (
     augment_batch, center_crop_resize, cutout, normalize,
     random_resized_crop_batch,
@@ -204,6 +204,10 @@ class Trainer:
 
         def train_step(state: TrainState, x, y, w, rng):
             aug_key, drop_key = jax.random.split(rng)
+            if use_hw_dropout():
+                # dropout masks via the TPU hardware RNG (dead-code-eliminated
+                # by XLA when the model has no dropout) — see core/rng.py
+                drop_key = hw_dropout_key(drop_key)
             x = preprocess(x, aug_key)
 
             def loss_fn(params):
@@ -430,6 +434,8 @@ class Trainer:
 
         def bn_step(model_state, params, x, rng):
             aug_key, drop_key = jax.random.split(rng)
+            if use_hw_dropout():
+                drop_key = hw_dropout_key(drop_key)
             x = preprocess(x, aug_key)
             _, state_updates = model.module.apply(
                 {"params": params, "state": model_state},

@@ -125,3 +125,65 @@ def test_conv_s2d_stem_matches_direct(monkeypatch):
     assert y_s2d.shape == y_direct.shape == (2, 8, 8, 16)
     np.testing.assert_allclose(y_s2d, y_direct, rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(g_s2d, g_direct, rtol=1e-3, atol=1e-3)
+
+
+def test_hw_dropout_key_deterministic_and_valid():
+    # hw_dropout_key rewraps a threefry key as unsafe_rbg (TPU hardware RNG);
+    # must be deterministic per input key, produce distinct streams after
+    # split, and keep dropout's keep-probability semantics.
+    import numpy as np
+
+    from convnets_tpu.core.rng import hw_dropout_key
+    from convnets_tpu.ops.activations import dropout
+
+    @jax.jit
+    def f(key, x):
+        k = hw_dropout_key(key)
+        k1, k2 = jax.random.split(k)
+        return dropout(x, 0.5, k1, train=True), dropout(x, 0.5, k2, train=True)
+
+    x = jnp.ones((64, 64), jnp.float32)
+    a, b = f(jax.random.key(0), x)
+    a2, _ = f(jax.random.key(0), x)
+    assert np.array_equal(np.asarray(a), np.asarray(a2))  # same seed, same mask
+    assert not np.array_equal(np.asarray(a), np.asarray(b))  # split keys differ
+    zero_frac = float((np.asarray(a) == 0).mean())
+    assert 0.4 < zero_frac < 0.6  # rate=0.5 mask statistics
+    assert float(np.asarray(a).max()) == 2.0  # inverted-dropout 1/(1-p) scale
+
+
+def test_train_step_hw_rng_gate(monkeypatch):
+    # The engine's dropout stream honors CONVNETS_TPU_HW_RNG: gate off must
+    # reproduce the historical threefry masks (published-run reproducibility),
+    # gate on switches only the dropout stream (loss still finite/valid).
+    import numpy as np
+
+    from convnets_tpu.models import build_model
+    from convnets_tpu.settings import Settings
+    from convnets_tpu.train.engine import Trainer
+
+    def losses(hw):
+        monkeypatch.setenv("CONVNETS_TPU_HW_RNG", "1" if hw else "0")
+        setting = Settings(kind="11", input_size=(3, 32, 32), num_classes=10,
+                           batch_size=8, dropout_rate=0.5, data_augment=False,
+                           data_norm=False, seed=7)
+        model = build_model("vggnet", setting)
+        trainer = Trainer(model)
+        trainer.init_state()
+        step = trainer._get_train_step(False, False)
+        x = jnp.ones((8, 32, 32, 3), jnp.float32) * 0.1
+        y = jnp.arange(8) % 10
+        w = jnp.ones((8,), jnp.float32)
+        out = []
+        for i in range(2):
+            trainer.state, loss, _ = step(
+                trainer.state, x, y, w, jax.random.fold_in(jax.random.key(7), i))
+            out.append(float(loss))
+        return out
+
+    l_off = losses(False)
+    l_off2 = losses(False)
+    assert l_off == l_off2  # threefry path is deterministic
+    l_on = losses(True)
+    assert all(np.isfinite(v) for v in l_on)
+    assert l_on != l_off  # different mask stream (statistically equivalent)
