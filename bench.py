@@ -170,6 +170,12 @@ def main():
             secondary["pipeline_cinic_rn26_img_s"] = round(measure_pipeline(), 2)
         except Exception as e:
             secondary["pipeline_error"] = str(e)[:120]
+        # context: the 14,400 target is 90% MFU speed-of-light; the measured
+        # XLA ceiling for this shape mix is ~20% conv MXU util (PERF.md §2),
+        # and public XLA RN50-on-v5e lands at ~2,300-2,400 img/s/chip —
+        # vs_xla_public situates the number against that realistic bar
+        secondary["xla_rn50_v5e_public_img_s"] = 2400.0
+        secondary["vs_xla_public"] = round(value / 2400.0, 4)
         record["secondary"] = secondary
 
     print(json.dumps(record))
