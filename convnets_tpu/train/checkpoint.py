@@ -166,6 +166,31 @@ def average_trees(trees):
     return unflatten_tree(out)
 
 
+def ema_trees(trees, decay=0.9):
+    """Exponentially-weighted average of an ordered sequence of pytrees
+    (oldest first): ema <- decay*ema + (1-decay)*tree. A recency-weighted
+    variant of `average_trees` for cosine-tail snapshot averaging — later
+    snapshots (lower lr, flatter minima) dominate. Integer leaves are taken
+    from the LAST tree (freshest step counters). Re-estimate BN running
+    stats afterwards, same as `average_trees`."""
+    if not trees:
+        raise ValueError("ema_trees() needs at least one tree")
+    if not (0.0 <= decay < 1.0):
+        raise ValueError(f"decay must be in [0, 1), got {decay}")
+    flats = [flatten_tree(t) for t in trees]
+    out = {}
+    for k in flats[0].keys():
+        last = np.asarray(flats[-1][k])
+        if np.issubdtype(last.dtype, np.integer):
+            out[k] = last
+        else:
+            acc = np.asarray(flats[0][k], np.float64)
+            for f in flats[1:]:
+                acc = decay * acc + (1.0 - decay) * np.asarray(f[k], np.float64)
+            out[k] = acc.astype(last.dtype)
+    return unflatten_tree(out)
+
+
 def _jsonable(obj: Any):
     if isinstance(obj, dict):
         return {str(k): _jsonable(v) for k, v in obj.items()}

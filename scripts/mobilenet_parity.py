@@ -65,6 +65,12 @@ def main():
     ap.add_argument("--lr", type=float, default=0.2)
     ap.add_argument("--tail", type=int, default=16,
                     help="number of final epochs to weight-average")
+    ap.add_argument("--snap", type=int, default=32,
+                    help="number of final epochs to snapshot (>= tail; the "
+                         "extra snapshots feed the EMA candidate)")
+    ap.add_argument("--ema-decay", type=float, default=0.9,
+                    help="per-epoch decay for the exponentially-weighted "
+                         "tail candidate (r4 seed-mean probe)")
     ap.add_argument("--wd", type=float, default=5e-4)
     ap.add_argument("--dropout", type=float, default=0.0,
                     help="classifier dropout (r4 seed-mean probe: the 300ep "
@@ -120,8 +126,10 @@ def main():
     tail_params = []
 
     if args.retrain:
+        n_snap = max(args.tail, args.snap)
+
         def hook(tr, epoch):
-            if epoch >= args.epochs - args.tail:
+            if epoch >= args.epochs - n_snap:
                 tail_params.append(snapshot_host_params())
 
         trainer.epoch_hook = hook
@@ -159,7 +167,7 @@ def main():
     acc_c = -1.0
     state_c = params_c = None
     if tail_params:
-        params_c = ckpt.average_trees(tail_params)
+        params_c = ckpt.average_trees(tail_params[-args.tail:])
         install(params=params_c, model_state=base_state)
         trainer.reestimate_bn(trainset, passes=2)
         acc_c = trainer.evaluate(validset, info=False)
@@ -167,11 +175,27 @@ def main():
         record["candidates"]["tailavg+bn"] = {"valid_pct": round(acc_c * 100, 3)}
         print(f"[valid] tail-avg + BN:      {acc_c*100:.3f}%", flush=True)
 
+    # ---- candidate D: exp-weighted tail average (EMA) + BN re-estimation ---
+    acc_d = -1.0
+    state_d = params_d = None
+    if len(tail_params) > 1:
+        d = args.ema_decay
+        params_d = ckpt.ema_trees(tail_params, decay=d)
+        install(params=params_d, model_state=base_state)
+        trainer.reestimate_bn(trainset, passes=2)
+        acc_d = trainer.evaluate(validset, info=False)
+        state_d = jax.tree.map(np.asarray, trainer.state.model_state)
+        record["candidates"]["ema+bn"] = {"valid_pct": round(acc_d * 100, 3),
+                                          "decay": d, "snaps": len(tail_params)}
+        print(f"[valid] ema(d={d}) + BN:    {acc_d*100:.3f}%", flush=True)
+
     # ---- select on valid, score the winner on test -------------------------
     options = {"best": (acc_a, base_params, base_state),
                "best+bn": (acc_b, base_params, state_b)}
     if params_c is not None:
         options["tailavg+bn"] = (acc_c, params_c, state_c)
+    if params_d is not None:
+        options["ema+bn"] = (acc_d, params_d, state_d)
     winner = max(options, key=lambda k: options[k][0])
     acc_w, params_w, state_w = options[winner]
     install(params=params_w, model_state=state_w)
@@ -189,7 +213,8 @@ def main():
                     "scheduler": "cosine", "warmup": 5, "seed": args.seed,
                     "augment": ("crop+flip+affine" if args.affine else "crop+flip")
                     + (f"+cutout{args.cutout}" if args.cutout else ""),
-                    "tail_avg": len(tail_params),
+                    "tail_avg": min(args.tail, len(tail_params)),
+                    "snapshots": len(tail_params), "ema_decay": args.ema_decay,
                     "bn_reestimated": winner != "best"},
     })
     # persist the winning weights+stats as a checkpoint

@@ -130,6 +130,24 @@ def test_average_trees():
     assert avg["a"]["w"].dtype == np.float32
 
 
+def test_ema_trees():
+    t1 = {"a": {"w": np.zeros((2, 2), np.float32)}, "count": np.int32(3)}
+    t2 = {"a": {"w": np.ones((2, 2), np.float32)}, "count": np.int32(5)}
+    t3 = {"a": {"w": 2 * np.ones((2, 2), np.float32)}, "count": np.int32(7)}
+    ema = ckpt.ema_trees([t1, t2, t3], decay=0.5)
+    # 0 -> 0.5*0 + 0.5*1 = 0.5 -> 0.5*0.5 + 0.5*2 = 1.25
+    np.testing.assert_allclose(ema["a"]["w"], 1.25 * np.ones((2, 2)))
+    assert ema["count"] == 7  # integer leaves come from the LAST tree
+    assert ema["a"]["w"].dtype == np.float32
+    # single tree: identity
+    one = ckpt.ema_trees([t2], decay=0.9)
+    np.testing.assert_allclose(one["a"]["w"], t2["a"]["w"])
+    with pytest.raises(ValueError):
+        ckpt.ema_trees([], decay=0.9)
+    with pytest.raises(ValueError):
+        ckpt.ema_trees([t1], decay=1.0)
+
+
 def test_epoch_hook_called(tmp_path):
     setting = make_setting(tmp_path, epochs=3)
     trainer = Trainer(build_model("lenet", setting))
