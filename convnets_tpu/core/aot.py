@@ -3,13 +3,18 @@
 Global XLA_FLAGS tuning cannot cross the axon relay (the PJRT server
 parses its own argv — PERF.md §4), but compile options travel inside each
 compile request via jit(fn).lower(*args).compile(compiler_options=...).
-The measured win (scripts/tpu_flag_ab.py → data/output/flag_ab.json):
-raising the scoped-VMEM limit from the 16 MB default to 32 MB buys ~3%
-on the RN50@224 train step by letting XLA's conv fusions hold bigger
-working sets. Applied to every Trainer step/epoch executable on TPU.
+
+Measured verdict (PERF.md §4): on the PRODUCTION (sharded + donated)
+RN50@224 train step, the compiler defaults win — the scoped-VMEM 32 MB
+"+3%" from the broad flag_ab.json probe was an artifact of its unsharded
+test jit; the production sweep (data/output/vmem_sweep.json) measured
+32 MB at 103.5 ms vs 99.7 ms default (2,474 vs 2,567 img/s), and
+dn121_levers.json independently measured 32/64 MB negative on DenseNet.
+So MEASURED_TPU_OPTS is empty and Trainer executables compile plain;
+the plumbing stays for per-experiment overrides.
 
 Override with env CONVNETS_TPU_COMPILER_OPTS:
-  - unset        → the measured defaults below
+  - unset        → the measured default (none — plain jit)
   - "0"/""/"off" → plain jit (no options)
   - a JSON dict  → exactly those options
 """
@@ -21,9 +26,9 @@ import os
 
 import jax
 
-# measured defaults (see module docstring); string values — the PJRT
-# compile-options env travels as strings
-MEASURED_TPU_OPTS = {"xla_tpu_scoped_vmem_limit_kib": "32768"}
+# measured default: NO options — the production vmem_sweep.json says the
+# compiler defaults win on the sharded+donated step (module docstring)
+MEASURED_TPU_OPTS: dict = {}
 
 
 def tpu_compile_options():
@@ -32,8 +37,8 @@ def tpu_compile_options():
         env = env.strip()
         if env in ("", "0", "off"):
             return None
-        return json.loads(env)
-    return dict(MEASURED_TPU_OPTS)
+        return json.loads(env) or None
+    return dict(MEASURED_TPU_OPTS) or None
 
 
 def _on_tpu() -> bool:

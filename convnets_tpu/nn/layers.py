@@ -123,6 +123,18 @@ class Conv2d(Module):
                 stride=1, padding=0, accum_dtype=self.policy.accum_dtype,
             )
             return y, {}
+        if self.kernel == (3, 3):
+            from convnets_tpu.ops import winograd
+
+            if winograd.fits(self.kernel, self.stride, self.dilation,
+                             self.groups):
+                m = winograd.route(x.shape[1], x.shape[-1],
+                                   self.out_channels)
+                if m is not None:
+                    y = winograd.conv2d_winograd(
+                        x, w, None if b is None else b.astype(cd),
+                        padding=self.padding, m=m)
+                    return y, {}
         y = ops.conv2d(
             x, w, None if b is None else b.astype(cd),
             stride=self.stride, padding=self.padding, dilation=self.dilation,

@@ -186,6 +186,9 @@ class Settings(HyperParams):
     DEF_CUTOUT = 0                   # side of the random zeroed square
     #                                  (0 = off); runs on device inside the
     #                                  train step (data/augment.py::cutout)
+    DEF_MIXUP = 0.0                  # mixup Beta(α,α) (0 = off); mixes the
+    #                                  batch + interpolates the CE loss
+    #                                  inside the jitted train step
 
     # TPU/SPMD environment defaults (replace the reference's DEF_DEVICE)
     DEF_DEVICE_CACHE = None  # None → auto: keep splits resident in HBM when they fit
@@ -217,6 +220,7 @@ class Settings(HyperParams):
         "loss_reduction",
         "label_smoothing",
         "cutout",
+        "mixup",
     )
 
     def __init__(
@@ -265,6 +269,7 @@ class Settings(HyperParams):
         loss_reduction=None,
         label_smoothing=None,
         cutout=None,
+        mixup=None,
     ):
         super().__init__()
 
@@ -313,6 +318,7 @@ class Settings(HyperParams):
             label_smoothing=label_smoothing,
             loss_reduction=loss_reduction,
             cutout=cutout,
+            mixup=mixup,
         )
         # None → DEF_* default, via the same reflection scheme as the
         # reference (settings.py:294-299).

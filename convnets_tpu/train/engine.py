@@ -201,6 +201,7 @@ class Trainer:
         clip_norm = float(setting.gc_max_norm) if setting.grad_clip_norm else None
         clip_value = float(setting.gc_value) if setting.grad_clip_value else None
         opt_name = self.optimizer_name
+        mix_a = float(getattr(setting, "mixup", 0.0) or 0.0)
 
         def train_step(state: TrainState, x, y, w, rng):
             aug_key, drop_key = jax.random.split(rng)
@@ -209,6 +210,18 @@ class Trainer:
                 # by XLA when the model has no dropout) — see core/rng.py
                 drop_key = hw_dropout_key(drop_key)
             x = preprocess(x, aug_key)
+            if mix_a > 0.0:
+                # mixup (Zhang et al. 2018): one λ~Beta(α,α) per batch, mix
+                # images with a batch permutation, interpolate the CE terms.
+                # Keys split ONLY when mixup is on so the published recipes'
+                # RNG streams stay bit-identical at mixup=0 (cutout pattern).
+                lam_key, perm_key = jax.random.split(
+                    jax.random.fold_in(aug_key, 1))
+                lam = jax.random.beta(lam_key, mix_a, mix_a, dtype=jnp.float32)
+                perm = jax.random.permutation(perm_key, x.shape[0])
+                x = (lam.astype(x.dtype) * x
+                     + (1.0 - lam).astype(x.dtype) * x[perm])
+                y_mix = y[perm]
 
             def loss_fn(params):
                 logits, state_updates = model.module.apply(
@@ -218,6 +231,11 @@ class Trainer:
                 logits = logits.astype(jnp.float32)
                 loss_sum = ops.cross_entropy_sum(logits, y, w,
                                                  label_smoothing=smoothing)
+                if mix_a > 0.0:
+                    loss_sum = (lam * loss_sum
+                                + (1.0 - lam) * ops.cross_entropy_sum(
+                                    logits, y_mix, w,
+                                    label_smoothing=smoothing))
                 # gradient objective: reference sum-CE, or per-example mean
                 # for standard SGD lr/wd recipes (Settings.loss_reduction)
                 objective = loss_sum
@@ -265,6 +283,7 @@ class Trainer:
         mean_grad = getattr(self.setting, "loss_reduction", "sum") == "mean"
         smoothing = float(getattr(self.setting, "label_smoothing", 0.0) or 0.0)
         key = (augment, norm, debug, stats, do_affine, mean_grad, smoothing,
+               float(getattr(self.setting, "mixup", 0.0) or 0.0),
                self.optimizer_name)
         if key in self._train_step_fns:
             return self._train_step_fns[key]
@@ -345,6 +364,7 @@ class Trainer:
         mean_grad = getattr(self.setting, "loss_reduction", "sum") == "mean"
         smoothing = float(getattr(self.setting, "label_smoothing", 0.0) or 0.0)
         key = ("train", augment, norm, stats, do_affine, mean_grad, smoothing,
+               float(getattr(self.setting, "mixup", 0.0) or 0.0),
                self.optimizer_name, num_steps)
         if key in self._epoch_fns:
             return self._epoch_fns[key]

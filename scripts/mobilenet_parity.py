@@ -166,7 +166,7 @@ def main():
     # ---- candidate C: tail weight average + BN re-estimation ---------------
     acc_c = -1.0
     state_c = params_c = None
-    if tail_params:
+    if tail_params and args.tail > 0:
         params_c = ckpt.average_trees(tail_params[-args.tail:])
         install(params=params_c, model_state=base_state)
         trainer.reestimate_bn(trainset, passes=2)
