@@ -204,8 +204,16 @@ class DeviceCacheLoader:
         if self._resident is None:
             load = getattr(self.dataset, "load_raw", self.dataset.load)
             x, y = load(np.arange(len(self.dataset)))
-            put = (lambda a: jax.device_put(a, sharding)) if sharding is not None \
-                else jax.device_put
+            if sharding is not None and jax.process_count() > 1:
+                # multi-host: every process loads the same full split (the
+                # dataset is shared storage), so the replicated resident
+                # arrays assemble from identical process-local copies
+                put = lambda a: jax.make_array_from_process_local_data(
+                    sharding, np.ascontiguousarray(a), np.asarray(a).shape)
+            elif sharding is not None:
+                put = lambda a: jax.device_put(a, sharding)
+            else:
+                put = jax.device_put
             self._resident = (
                 put(np.ascontiguousarray(x)),
                 put(np.asarray(y, np.int32)),

@@ -122,6 +122,18 @@ class ShardRotationLoader:
         cimg = bpc * bs  # images per resident chunk (constant)
         load = getattr(self.dataset, "load_raw", self.dataset.load)
 
+        multi = jax.process_count() > 1 and sharding is not None
+        if multi:
+            # multi-host: every process rotates its own disjoint chunk; the
+            # global chunk is row-sharded over 'data' (engine._chunk_sharding)
+            # with process p's rows at block p, and p's batch indices point
+            # into that block. Chunk geometry ((cimg, bpc)) is identical on
+            # every host — same dataset, same-size host shards.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            pidx, pc = jax.process_index(), jax.process_count()
+            batch1 = NamedSharding(sharding.mesh, P(None, "data"))
+
         def assemble(ci: int) -> Chunk:
             lo = ci * cimg
             # the epoch uses exactly nb_total*bs slots; with drop_last the
@@ -135,12 +147,25 @@ class ShardRotationLoader:
                 y = np.concatenate([y, np.zeros((cimg - k,), y.dtype)])
             w = np.zeros((cimg,), np.float32)
             w[:k] = 1.0
+            idx = np.arange(cimg, dtype=np.int32).reshape(bpc, bs)
+            if multi:
+                glob = lambda a, shape: jax.make_array_from_process_local_data(
+                    sharding, np.ascontiguousarray(a), shape)
+                gmat = lambda a: jax.make_array_from_process_local_data(
+                    batch1, np.ascontiguousarray(a), (bpc, bs * pc))
+                return Chunk(
+                    data=glob(x, (cimg * pc, *x.shape[1:])),
+                    labels=glob(np.asarray(y, np.int32), (cimg * pc,)),
+                    idx_mat=gmat(idx + pidx * cimg),
+                    w_mat=gmat(w.reshape(bpc, bs)),
+                    host_labels=np.asarray(y),
+                )
             put = ((lambda a: jax.device_put(a, sharding))
                    if sharding is not None else jax.device_put)
             return Chunk(
                 data=put(np.ascontiguousarray(x)),
                 labels=put(np.asarray(y, np.int32)),
-                idx_mat=np.arange(cimg, dtype=np.int32).reshape(bpc, bs),
+                idx_mat=idx,
                 w_mat=w.reshape(bpc, bs),
                 host_labels=np.asarray(y),
             )

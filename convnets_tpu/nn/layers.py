@@ -131,9 +131,21 @@ class Conv2d(Module):
                 m = winograd.route(x.shape[1], x.shape[-1],
                                    self.out_channels)
                 if m is not None:
-                    y = winograd.conv2d_winograd(
-                        x, w, None if b is None else b.astype(cd),
-                        padding=self.padding, m=m)
+                    f = winograd.conv2d_winograd
+                    if os.environ.get("CONVNETS_TPU_WINOGRAD_REMAT",
+                                      "1") == "1":
+                        # without remat autodiff stores the Winograd-domain
+                        # V/M tensors (2.25-4x the activation, measured TPU
+                        # worker OOM-crash on RN50@224 b256 with m=2) —
+                        # recompute the transforms in backward instead
+                        import functools
+
+                        f = jax.checkpoint(
+                            functools.partial(f, padding=self.padding, m=m))
+                        y = f(x, w, None if b is None else b.astype(cd))
+                    else:
+                        y = f(x, w, None if b is None else b.astype(cd),
+                              padding=self.padding, m=m)
                     return y, {}
         y = ops.conv2d(
             x, w, None if b is None else b.astype(cd),

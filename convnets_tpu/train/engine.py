@@ -359,13 +359,13 @@ class Trainer:
     # permutation, same fold_in(base_key, step) RNG stream.
 
     def _get_train_epoch_fn(self, augment: bool, norm: bool, stats,
-                            num_steps: int):
+                            num_steps: int, data_sharded: bool = False):
         do_affine = bool(getattr(self.setting, "augment_affine", True))
         mean_grad = getattr(self.setting, "loss_reduction", "sum") == "mean"
         smoothing = float(getattr(self.setting, "label_smoothing", 0.0) or 0.0)
         key = ("train", augment, norm, stats, do_affine, mean_grad, smoothing,
                float(getattr(self.setting, "mixup", 0.0) or 0.0),
-               self.optimizer_name, num_steps)
+               self.optimizer_name, num_steps, data_sharded)
         if key in self._epoch_fns:
             return self._epoch_fns[key]
         train_step = self._build_train_step(augment, norm, False, stats,
@@ -385,13 +385,15 @@ class Trainer:
                 body, state, (idx_mat, w_mat, steps))
             return state, jnp.sum(losses), jnp.sum(corrects)
 
-        fn = self._jit_epoch_fn(epoch_fn, n_scalars=2, donate_state=True)
+        fn = self._jit_epoch_fn(epoch_fn, n_scalars=2, donate_state=True,
+                                data_sharded=data_sharded)
         self._epoch_fns[key] = fn
         return fn
 
     def _get_eval_epoch_fn(self, norm: bool, stats, num_steps: int,
-                           collect_preds: bool = False):
-        key = ("eval", norm, stats, num_steps, collect_preds)
+                           collect_preds: bool = False,
+                           data_sharded: bool = False):
+        key = ("eval", norm, stats, num_steps, collect_preds, data_sharded)
         if key in self._epoch_fns:
             return self._epoch_fns[key]
         eval_step = self._build_eval_step(norm, stats)
@@ -415,16 +417,21 @@ class Trainer:
             return jnp.sum(losses), jnp.sum(corrects)
 
         fn = self._jit_epoch_fn(epoch_fn, n_scalars=2, donate_state=False,
-                                preds_out=collect_preds)
+                                preds_out=collect_preds,
+                                data_sharded=data_sharded)
         self._epoch_fns[key] = fn
         return fn
 
     def _jit_epoch_fn(self, epoch_fn, n_scalars: int, donate_state: bool,
-                      preds_out: bool = False):
+                      preds_out: bool = False, data_sharded: bool = False):
         """jit an epoch_fn(state, data, labels, idx_mat, w_mat, key):
-        state/splits replicated, index/weight matrices (and stacked preds)
-        sharded on their batch axis (axis 1) so each device gathers its
-        batch slice locally from its replica of the split."""
+        state replicated, index/weight matrices (and stacked preds)
+        sharded on their batch axis (axis 1). The resident split is
+        replicated by default (each device gathers batch slices locally
+        from its replica); data_sharded=True instead shards the split's
+        image axis over 'data' — the multi-host chunk-rotation layout,
+        where each host's devices hold only that host's chunk rows and
+        GSPMD inserts the gather collectives."""
         if self.mesh is None:
             donate = (0,) if donate_state else ()
             return jit_with_options(jax.jit(epoch_fn, donate_argnums=donate))
@@ -432,7 +439,8 @@ class Trainer:
 
         rep = replicated(self.mesh)
         batch1 = NamedSharding(self.mesh, P(None, "data"))
-        in_s = (rep, rep, rep, batch1, batch1, rep)
+        split_s = NamedSharding(self.mesh, P("data")) if data_sharded else rep
+        in_s = (rep, split_s, split_s, batch1, batch1, rep)
         if donate_state:
             out_s = (rep,) + (rep,) * n_scalars
             return jit_with_options(
@@ -566,12 +574,39 @@ class Trainer:
 
     def _epoch_inputs(self, loader):
         """Resident split (replicated over the mesh) + this epoch's batch
-        index/weight matrices."""
+        index/weight matrices. Multi-host: each process contributes its
+        per-host loader shard as its block of the global batch axis
+        (indices are global — they point into the replicated split)."""
         _, rep_s = self._shardings()
         loader._ensure_resident(rep_s)
         data, labels = loader._resident
         idx_mat, w_mat = loader.epoch_matrices()
+        if self.mesh is not None and jax.process_count() > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            batch1 = NamedSharding(self.mesh, P(None, "data"))
+            nb, bs_local = idx_mat.shape
+            gshape = (nb, bs_local * loader.num_hosts)
+            idx_mat = jax.make_array_from_process_local_data(
+                batch1, idx_mat, gshape)
+            w_mat = jax.make_array_from_process_local_data(
+                batch1, w_mat, gshape)
         return data, labels, idx_mat, w_mat
+
+    def _chunk_sharding(self):
+        """Chunk placement for the rotation loader: replicated on one
+        process (each device reads its replica); on a multi-process mesh
+        the chunk rows are per-host DISJOINT, so the split is row-sharded
+        over 'data' and epoch_chunks assembles the global view from each
+        process's local chunk (SURVEY §2.3 per-host sharded feed)."""
+        if self.mesh is None:
+            return None, False
+        multi = jax.process_count() > 1
+        if multi:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            return NamedSharding(self.mesh, P("data")), True
+        return replicated(self.mesh), False
 
     def _run_chunked_train_epoch(self, loader, epoch_index: int,
                                  augment: bool, norm: bool):
@@ -580,35 +615,37 @@ class Trainer:
         i+1 host→device while chunk i's scan runs. The per-chunk loss
         readback doubles as the pipeline throttle — it keeps at most two
         shards co-resident in HBM (stream.py epoch_chunks)."""
-        _, rep_s = self._shardings()
+        chunk_s, multi = self._chunk_sharding()
         stats = self._resolve_stats(loader)
         base_key = key_for(self.setting.seed, "dropout", epoch_index)
         loss_sum = correct_sum = 0.0
         fn = None
-        for ci, ch in enumerate(loader.epoch_chunks(rep_s)):
+        for ci, ch in enumerate(loader.epoch_chunks(chunk_s)):
             if fn is None:
                 fn = self._get_train_epoch_fn(augment, norm, stats,
-                                              ch.idx_mat.shape[0])
+                                              ch.idx_mat.shape[0],
+                                              data_sharded=multi)
             self.state, loss, correct = fn(
                 self.state, ch.data, ch.labels, ch.idx_mat, ch.w_mat,
                 jax.random.fold_in(base_key, ci))
             loss_sum += float(loss)
             correct_sum += float(correct)
-        n = self._loader_host_count(loader)
+        n = self._scan_denominator(loader)
         return loss_sum / n, correct_sum / n
 
     def _run_chunked_eval_epoch(self, loader, norm: bool,
                                 collect_preds: bool = False):
-        _, rep_s = self._shardings()
+        chunk_s, multi = self._chunk_sharding()
         stats = self._resolve_stats(loader)
         base_key = key_for(self.setting.seed, "eval")
         loss_sum = correct_sum = 0.0
         all_preds, all_targets = [], []
         fn = None
-        for ch in loader.epoch_chunks(rep_s):
+        for ch in loader.epoch_chunks(chunk_s):
             if fn is None:
                 fn = self._get_eval_epoch_fn(norm, stats, ch.idx_mat.shape[0],
-                                             collect_preds)
+                                             collect_preds,
+                                             data_sharded=multi)
             out = fn(self.state, ch.data, ch.labels, ch.idx_mat, ch.w_mat,
                      base_key)
             loss_sum += float(out[0])
@@ -619,7 +656,7 @@ class Trainer:
                     np.asarray(out[2]).reshape(-1)[mask])
                 all_targets.append(
                     ch.host_labels[ch.idx_mat.reshape(-1)[mask]])
-        n = self._loader_host_count(loader)
+        n = self._scan_denominator(loader)
         result = (loss_sum / n, correct_sum / n)
         if collect_preds:
             preds = np.concatenate(all_preds) if all_preds else np.zeros(0, np.int64)
@@ -641,7 +678,7 @@ class Trainer:
             base_key = key_for(self.setting.seed, "dropout", epoch_index)
             self.state, loss_sum, correct_sum = fn(
                 self.state, data, labels, idx_mat, w_mat, base_key)
-            n = self._loader_host_count(loader)
+            n = self._scan_denominator(loader)
             return float(loss_sum) / n, float(correct_sum) / n
         step_fn = self._get_train_step(augment, norm, debug,
                                        stats=self._resolve_stats(loader))
@@ -673,6 +710,21 @@ class Trainer:
         return loss_sum / n, correct_sum / n
 
     @staticmethod
+    def _scan_denominator(loader) -> int:
+        """Denominator for the scanned/chunked GSPMD epoch paths: those
+        jits compute GLOBAL loss/correct sums over the whole sharded batch
+        (every process reads back the same replicated scalars), so with
+        multiple processes the per-example mean divides by the global
+        example count — unlike the per-step host-iterator path, which sums
+        only this host's shard (see _loader_host_count)."""
+        import jax as _jax
+
+        if _jax.process_count() > 1:
+            return loader.num_examples
+        hc = getattr(loader, "_host_count", None)
+        return hc() if callable(hc) else loader.num_examples
+
+    @staticmethod
     def _loader_host_count(loader) -> int:
         """Denominator for per-example epoch metrics: the number of examples
         THIS host iterated. With num_hosts>1 each host sums loss/correct over
@@ -693,7 +745,7 @@ class Trainer:
                                          idx_mat.shape[0], collect_preds)
             base_key = key_for(self.setting.seed, "eval")
             out = fn(self.state, data, labels, idx_mat, w_mat, base_key)
-            n = self._loader_host_count(loader)
+            n = self._scan_denominator(loader)
             result = (float(out[0]) / n, float(out[1]) / n)
             if collect_preds:
                 mask = w_mat.reshape(-1) > 0

@@ -1,0 +1,229 @@
+"""Per-conv roofline for the RN50@224 train step (VERDICT r4 #6).
+
+Turns PERF.md §8's "~20% MXU is the XLA conv ceiling" argument into
+arithmetic: for EVERY conv_general_dilated instance in the compiled train
+step (forward + both backward passes — enumerated from the jaxpr, so
+nothing is hand-listed), compute
+
+  FLOPs            = 2 · |out| · kh·kw · Cin/groups
+  min HBM bytes    = |lhs| + |rhs| + |out| in their dtypes
+  roofline bound   = max(FLOPs / peak_mxu, bytes / peak_hbm_bw)
+
+and measure each distinct conv class on-chip via a dependency-chained
+lax.scan (one dispatch for K iterations — the only trustworthy way to time
+sub-ms ops through the relay, PERF.md §7; the carry feeds a scalar from
+iteration i's output into iteration i+1's input so XLA cannot hoist the
+loop-invariant conv).
+
+v5e-1 peaks: 197 bf16 TFLOP/s (MXU), 819 GB/s HBM.
+
+Usage:
+  python scripts/roofline_rn50.py enumerate   # CPU-safe: jaxpr -> shapes json
+  python scripts/roofline_rn50.py measure     # on-chip: fills measured ms
+  python scripts/roofline_rn50.py report      # PERF.md table + ceiling
+
+Writes data/output/roofline_rn50.json.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+PEAK_FLOPS = 197e12     # v5e bf16
+PEAK_BW = 819e9         # v5e HBM bytes/s
+PATH = "data/output/roofline_rn50.json"
+BATCH, IMAGE = 256, 224
+
+
+def build_step():
+    import jax
+    import jax.numpy as jnp
+
+    from convnets_tpu.models import build_model
+    from convnets_tpu.settings import Settings
+    from convnets_tpu.train.engine import Trainer
+
+    setting = Settings(
+        kind="50", input_size=(3, IMAGE, IMAGE), num_classes=1000,
+        batch_size=BATCH, mixed_precision=True, data_augment=False,
+        data_norm=False, dropout_rate=0.0, weight_decay=1e-4,
+    )
+    model = build_model("resnet", setting)
+    trainer = Trainer(model, use_mesh=False)
+    trainer.init_state()
+    step = trainer._build_train_step(False, False, False, None, True, False, 0.0)
+    return trainer, step
+
+
+def _nbytes(aval):
+    import numpy as np
+    return int(np.prod(aval.shape)) * aval.dtype.itemsize
+
+
+def enumerate_convs():
+    """Trace the train step, collect every conv_general_dilated eqn."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    trainer, step = build_step()
+    x = jnp.zeros((BATCH, IMAGE, IMAGE, 3), jnp.bfloat16)
+    y = jnp.zeros((BATCH,), jnp.int32)
+    w = jnp.ones((BATCH,), jnp.float32)
+    rng = jax.random.key(0)
+    jaxpr = jax.make_jaxpr(step)(trainer.state, x, y, w, rng)
+
+    convs = []
+
+    def walk(jpr):
+        for eqn in jpr.eqns:
+            if eqn.primitive.name == "conv_general_dilated":
+                lhs, rhs = eqn.invars[0].aval, eqn.invars[1].aval
+                out = eqn.outvars[0].aval
+                p = eqn.params
+                dn = p["dimension_numbers"]
+                # kernel spatial dims + input-feature dim from the dnums
+                rhs_spatial = [rhs.shape[d] for d in dn.rhs_spec[2:]]
+                rhs_in = rhs.shape[dn.rhs_spec[1]]
+                flops = 2.0 * np.prod(out.shape) * np.prod(rhs_spatial) * rhs_in
+                bytes_ = _nbytes(lhs) + _nbytes(rhs) + _nbytes(out)
+                convs.append({
+                    "lhs": [list(lhs.shape), str(lhs.dtype)],
+                    "rhs": [list(rhs.shape), str(rhs.dtype)],
+                    "out": [list(out.shape), str(out.dtype)],
+                    "window_strides": list(p["window_strides"]),
+                    "padding": [list(q) for q in p["padding"]],
+                    "lhs_dilation": list(p["lhs_dilation"]),
+                    "rhs_dilation": list(p["rhs_dilation"]),
+                    "dn": (tuple(dn.lhs_spec), tuple(dn.rhs_spec),
+                           tuple(dn.out_spec)),
+                    "groups": int(p["feature_group_count"]),
+                    "batch_groups": int(p.get("batch_group_count", 1)),
+                    "flops": float(flops),
+                    "bytes": float(bytes_),
+                })
+            for sub in jax.core.jaxprs_in_params(eqn.params):
+                walk(sub)
+
+    walk(jaxpr.jaxpr)
+    return convs
+
+
+def classes_of(convs):
+    """Group instances into distinct (shape+params) classes with counts."""
+    groups = {}
+    for c in convs:
+        key = json.dumps({k: c[k] for k in (
+            "lhs", "rhs", "out", "window_strides", "padding", "lhs_dilation",
+            "rhs_dilation", "dn", "groups", "batch_groups")}, sort_keys=True,
+            default=list)
+        g = groups.setdefault(key, dict(c, count=0))
+        g["count"] += 1
+    out = []
+    for g in groups.values():
+        g["t_flops_ms"] = g["flops"] / PEAK_FLOPS * 1e3
+        g["t_bw_ms"] = g["bytes"] / PEAK_BW * 1e3
+        g["t_bound_ms"] = max(g["t_flops_ms"], g["t_bw_ms"])
+        out.append(g)
+    out.sort(key=lambda g: -g["flops"] * g["count"])
+    return out
+
+
+def measure_class(cls, iters=50):
+    """Time one conv class on-chip: lax.scan with a scalar carry that
+    chains iteration i's output into i+1's input (defeats hoisting)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax
+
+    (lshape, ldt), (rshape, rdt) = cls["lhs"], cls["rhs"]
+    lhs = jax.random.uniform(jax.random.key(0), lshape, jnp.float32).astype(ldt)
+    rhs = (jax.random.uniform(jax.random.key(1), rshape, jnp.float32) * 0.1).astype(rdt)
+    dn = lax.ConvDimensionNumbers(*(tuple(d) for d in cls["dn"]))
+
+    def one(x):
+        return lax.conv_general_dilated(
+            x, rhs,
+            window_strides=tuple(cls["window_strides"]),
+            padding=[tuple(p) for p in cls["padding"]],
+            lhs_dilation=tuple(cls["lhs_dilation"]),
+            rhs_dilation=tuple(cls["rhs_dilation"]),
+            dimension_numbers=dn,
+            feature_group_count=cls["groups"],
+            batch_group_count=cls["batch_groups"],
+        )
+
+    def body(s, _):
+        y = one(lhs * (1.0 + s * 0.0).astype(lhs.dtype))
+        return y.reshape(-1)[0].astype(jnp.float32), None
+
+    fn = jax.jit(lambda s: lax.scan(body, s, None, length=iters)[0])
+    s = fn(jnp.float32(0.0))
+    _ = np.asarray(s)  # fence (compile + warmup)
+    t0 = time.perf_counter()
+    s = fn(jnp.float32(0.0))
+    _ = np.asarray(s)
+    dt = (time.perf_counter() - t0) / iters
+    return dt * 1e3
+
+
+def cmd_enumerate():
+    # tracing only — run on CPU so this never touches the axon chip
+    # (launch with PALLAS_AXON_POOL_IPS= to skip the TPU claim entirely)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    convs = enumerate_convs()
+    classes = classes_of(convs)
+    os.makedirs(os.path.dirname(PATH), exist_ok=True)
+    with open(PATH, "w") as f:
+        json.dump({"batch": BATCH, "image": IMAGE,
+                   "num_instances": len(convs), "classes": classes}, f, indent=1)
+    tot_f = sum(g["flops"] * g["count"] for g in classes)
+    tot_b = sum(g["t_bound_ms"] * g["count"] for g in classes)
+    print(f"{len(convs)} conv instances in {len(classes)} classes; "
+          f"{tot_f / 1e12:.2f} TFLOP/step; roofline sum {tot_b:.1f} ms "
+          f"(MXU-only {tot_f / PEAK_FLOPS * 1e3:.1f} ms)")
+
+
+def cmd_measure():
+    with open(PATH) as f:
+        rec = json.load(f)
+    for i, cls in enumerate(rec["classes"]):
+        ms = measure_class(cls)
+        cls["t_measured_ms"] = round(ms, 4)
+        print(f"[{i + 1}/{len(rec['classes'])}] "
+              f"lhs={cls['lhs'][0]} rhs={cls['rhs'][0]} x{cls['count']}: "
+              f"{ms:.3f} ms (bound {cls['t_bound_ms']:.3f})", flush=True)
+        with open(PATH, "w") as f:
+            json.dump(rec, f, indent=1)
+
+
+def cmd_report():
+    with open(PATH) as f:
+        rec = json.load(f)
+    rows = rec["classes"]
+    print("| lhs | rhs | s | g | n | TFLOP | t_mxu | t_hbm | bound | meas | x |")
+    print("|---|---|---|---|---|---|---|---|---|---|---|")
+    tot_bound = tot_meas = 0.0
+    for g in rows:
+        meas = g.get("t_measured_ms")
+        n = g["count"]
+        tot_bound += g["t_bound_ms"] * n
+        tot_meas += (meas or 0.0) * n
+        ratio = f"{meas / g['t_bound_ms']:.2f}" if meas else "-"
+        print(f"| {g['lhs'][0]} | {g['rhs'][0]} | {g['window_strides']} "
+              f"| {g['groups']} | {n} | {g['flops'] * n / 1e12:.2f} "
+              f"| {g['t_flops_ms']:.3f} | {g['t_bw_ms']:.3f} "
+              f"| {g['t_bound_ms']:.3f} | {meas if meas else '-'} | {ratio} |")
+    print(f"\nTOTAL roofline bound {tot_bound:.1f} ms; measured conv-only "
+          f"{tot_meas:.1f} ms; attainable img/s at bound "
+          f"{BATCH / tot_bound * 1e3:.0f} (convs alone)")
+
+
+if __name__ == "__main__":
+    {"enumerate": cmd_enumerate, "measure": cmd_measure,
+     "report": cmd_report}[sys.argv[1] if len(sys.argv) > 1 else "enumerate"]()

@@ -2,9 +2,10 @@
 answer to BASELINE config #3's input pipeline (r3 VERDICT missing #1).
 
 The measured wall (data/output/h2d_bw.json): host→device through the axon
-relay moves ~23 MB/s plain, ~18 MB/s overlapped — so ANY loader that ships
-materialized 224/256-class pixels (196 KB/img) tops out at ~120 img/s, 20×
-under the 2,550 img/s RN50 step. The ShardRotationLoader (data/stream.py)
+relay moves ~38 MB/s (38.3 plain / 38.0 under compute, 512 MB buffers; an
+earlier small-buffer probe read ~23) — so ANY loader that ships
+materialized 224/256-class pixels (196 KB/img) tops out at ~200 img/s,
+>12× under the 2,550 img/s RN50 step. The ShardRotationLoader (data/stream.py)
 saturates that pipe for genuinely->HBM datasets (scripts/train_large224.py
 measures it); this script is the other half of the answer: don't ship
 redundant pixels at all.
@@ -149,7 +150,7 @@ def main():
         "valid_curve_pct": [round(v * 100, 2)
                             for v in trainer.epoch_results["valid_score"]],
         "h2d_wall_note": ("materialized-256² streaming through the measured "
-                          "23 MB/s relay pipe caps at ~120 img/s; shipping "
+                          "38 MB/s relay pipe caps at ~200 img/s; shipping "
                           "source bytes once sidesteps the pipe entirely"),
     }
     path = os.path.join(

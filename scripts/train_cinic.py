@@ -36,6 +36,14 @@ def main():
     ap.add_argument("--nesterov", action="store_true")
     ap.add_argument("--dropout", type=float, default=0.0)
     ap.add_argument("--label-smoothing", type=float, default=0.0)
+    ap.add_argument("--mixup", type=float, default=0.0,
+                    help="mixup Beta(a,a) alpha (0 = off) - r5 MobileNet probe")
+    ap.add_argument("--reference-recipe", action="store_true",
+                    help="faithful reference recipe (r4 VERDICT #4b): Adam "
+                         "lr 0.01 + ReduceLROnPlateau(0.1, patience 10), "
+                         "wd 1e-4, dropout 0.5, affine augment, sum-CE, "
+                         "early-stop patience 12 (reference settings.py "
+                         "DEF_* + basemodel.py:58-83)")
     ap.add_argument("--affine", action="store_true",
                     help="use the full reference augmentation (affine) too")
     ap.add_argument("--out", default="data/output")
@@ -59,22 +67,37 @@ def main():
     from convnets_tpu.settings import Settings
     from convnets_tpu.train.engine import Trainer
 
-    setting = Settings(
-        kind=args.kind, input_size=(3, 32, 32), num_classes=10,
-        batch_size=args.batch, epochs=args.epochs,
-        learning_rate=args.lr, weight_decay=args.wd,
-        dropout_rate=args.dropout,
-        optimizer="sgd", momentum=args.momentum, nesterov=args.nesterov,
-        lr_scheduler="cosine", lr_min=args.lr_min,
-        lr_warmup_epochs=args.warmup,
-        data_augment=True, augment_affine=bool(args.affine), data_norm=True,
-        loss_reduction="mean",  # standard SGD lr/wd scale
-        label_smoothing=args.label_smoothing,
-        early_stop=False, loss_optim=False,
-        mixed_precision=True, output_dir=args.out,
-        sanity_check=bool(args.sanity),
-        **({"seed": args.seed} if args.seed is not None else {}),
-    )
+    if args.reference_recipe:
+        setting = Settings(
+            kind=args.kind, input_size=(3, 32, 32), num_classes=10,
+            batch_size=args.batch, epochs=args.epochs,
+            learning_rate=0.01, lr_factor=0.1, lr_patience=10,
+            weight_decay=1e-4, dropout_rate=0.5,
+            optimizer="adam", lr_scheduler="plateau",
+            data_augment=True, augment_affine=True, data_norm=True,
+            loss_reduction="sum", early_stop=True, es_patience=12,
+            loss_optim=False, mixed_precision=True, output_dir=args.out,
+            sanity_check=bool(args.sanity),
+            **({"seed": args.seed} if args.seed is not None else {}),
+        )
+    else:
+        setting = Settings(
+            kind=args.kind, input_size=(3, 32, 32), num_classes=10,
+            batch_size=args.batch, epochs=args.epochs,
+            learning_rate=args.lr, weight_decay=args.wd,
+            dropout_rate=args.dropout,
+            optimizer="sgd", momentum=args.momentum, nesterov=args.nesterov,
+            lr_scheduler="cosine", lr_min=args.lr_min,
+            lr_warmup_epochs=args.warmup,
+            data_augment=True, augment_affine=bool(args.affine), data_norm=True,
+            loss_reduction="mean",  # standard SGD lr/wd scale
+            label_smoothing=args.label_smoothing,
+            mixup=args.mixup,
+            early_stop=False, loss_optim=False,
+            mixed_precision=True, output_dir=args.out,
+            sanity_check=bool(args.sanity),
+            **({"seed": args.seed} if args.seed is not None else {}),
+        )
 
     data = DataMngr(setting, root=args.data_root)
     trainset = data.load_train()
@@ -82,11 +105,17 @@ def main():
 
     model = build_model(args.arch, setting)
     trainer = Trainer(model)
-    print(f"== {model.model_name} v{model.version} :: "
-          f"sgd lr={args.lr} cosine({args.epochs}ep, warmup {args.warmup}) "
-          f"wd={args.wd} batch={args.batch} "
-          f"augment={'crop+flip+affine' if args.affine else 'crop+flip'} ==",
-          flush=True)
+    if args.reference_recipe:
+        print(f"== {model.model_name} v{model.version} :: REFERENCE recipe "
+              f"adam lr=0.01 plateau(0.1,10) wd=1e-4 dropout=0.5 sum-CE "
+              f"affine-augment es=12 epochs={args.epochs} seed={setting.seed} ==",
+              flush=True)
+    else:
+        print(f"== {model.model_name} v{model.version} :: "
+              f"sgd lr={args.lr} cosine({args.epochs}ep, warmup {args.warmup}) "
+              f"wd={args.wd} batch={args.batch} mixup={args.mixup} "
+              f"augment={'crop+flip+affine' if args.affine else 'crop+flip'} ==",
+              flush=True)
 
     t0 = time.time()
     trainer.fit(trainset, validset)
