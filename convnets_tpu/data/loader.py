@@ -74,7 +74,7 @@ class DataLoader:
         self.epoch += 1
         bs = self.batch_size
         num_batches = len(order) // bs if self.drop_last else -(-len(order) // bs)
-        load = getattr(self.dataset, "load_raw", self.dataset.load)
+        load = getattr(self.dataset, "load_raw", None) or self.dataset.load
 
         def make_batch(bi: int):
             idx = order[bi * bs : (bi + 1) * bs]
@@ -202,7 +202,7 @@ class DeviceCacheLoader:
         import jax.numpy as jnp
 
         if self._resident is None:
-            load = getattr(self.dataset, "load_raw", self.dataset.load)
+            load = getattr(self.dataset, "load_raw", None) or self.dataset.load
             x, y = load(np.arange(len(self.dataset)))
             if sharding is not None and jax.process_count() > 1:
                 # multi-host: every process loads the same full split (the

@@ -120,7 +120,7 @@ class ShardRotationLoader:
         nb_total, bpc, num_chunks = self._plan()
         bs = self.batch_size
         cimg = bpc * bs  # images per resident chunk (constant)
-        load = getattr(self.dataset, "load_raw", self.dataset.load)
+        load = getattr(self.dataset, "load_raw", None) or self.dataset.load
 
         multi = jax.process_count() > 1 and sharding is not None
         if multi:
@@ -187,7 +187,7 @@ class ShardRotationLoader:
         self.epoch += 1
         bs = self.batch_size
         nb = len(order) // bs if self.drop_last else -(-len(order) // bs)
-        load = getattr(self.dataset, "load_raw", self.dataset.load)
+        load = getattr(self.dataset, "load_raw", None) or self.dataset.load
         for bi in range(nb):
             idx = order[bi * bs: (bi + 1) * bs]
             x, y = load(idx)

@@ -40,7 +40,7 @@ def make_setting(args, seed):
         optimizer="sgd", momentum=0.9, nesterov=False,
         lr_scheduler="cosine", lr_min=1e-5, lr_warmup_epochs=5,
         data_augment=True, augment_affine=args.affine, data_norm=True,
-        cutout=args.cutout,
+        cutout=args.cutout, mixup=args.mixup,
         loss_reduction="mean", label_smoothing=0.0,
         early_stop=False, loss_optim=False,
         mixed_precision=True, output_dir=args.out, seed=seed,
@@ -77,6 +77,9 @@ def main():
                          "overfit evidence suggests regularization headroom)")
     ap.add_argument("--cutout", type=int, default=0,
                     help="device-side cutout square size (r4 probe)")
+    ap.add_argument("--mixup", type=float, default=0.0,
+                    help="mixup Beta(a,a) alpha (r5 probe: the one untried "
+                         "recipe family, r4 VERDICT next-step #4a)")
     ap.add_argument("--affine", action="store_true",
                     help="add rotation/shear/scale augmentation on top of "
                          "crop+flip (r4 probe)")
@@ -212,7 +215,8 @@ def main():
                     "weight_decay": args.wd, "dropout": args.dropout,
                     "scheduler": "cosine", "warmup": 5, "seed": args.seed,
                     "augment": ("crop+flip+affine" if args.affine else "crop+flip")
-                    + (f"+cutout{args.cutout}" if args.cutout else ""),
+                    + (f"+cutout{args.cutout}" if args.cutout else "")
+                    + (f"+mixup{args.mixup}" if args.mixup else ""),
                     "tail_avg": min(args.tail, len(tail_params)),
                     "snapshots": len(tail_params), "ema_decay": args.ema_decay,
                     "bn_reestimated": winner != "best"},

@@ -34,8 +34,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 PEAK_FLOPS = 197e12     # v5e bf16
 PEAK_BW = 819e9         # v5e HBM bytes/s
-PATH = "data/output/roofline_rn50.json"
 BATCH, IMAGE = 256, 224
+# --arch/--kind select the model (default: the RN50 flagship); the
+# artifact path follows the tag so DN121 etc. get their own files.
+ARCH, KIND, TAG = "resnet", "50", "rn50"
+PATH = f"data/output/roofline_{TAG}.json"
 
 
 def build_step():
@@ -47,11 +50,11 @@ def build_step():
     from convnets_tpu.train.engine import Trainer
 
     setting = Settings(
-        kind="50", input_size=(3, IMAGE, IMAGE), num_classes=1000,
+        kind=KIND, input_size=(3, IMAGE, IMAGE), num_classes=1000,
         batch_size=BATCH, mixed_precision=True, data_augment=False,
         data_norm=False, dropout_rate=0.0, weight_decay=1e-4,
     )
-    model = build_model("resnet", setting)
+    model = build_model(ARCH, setting)
     trainer = Trainer(model, use_mesh=False)
     trainer.init_state()
     step = trainer._build_train_step(False, False, False, None, True, False, 0.0)
@@ -132,14 +135,21 @@ def classes_of(convs):
     return out
 
 
-def measure_class(cls, iters=50):
+def measure_class(cls, iters=None):
     """Time one conv class on-chip: lax.scan with a scalar carry that
-    chains iteration i's output into i+1's input (defeats hoisting)."""
+    chains iteration i's output into i+1's input (defeats hoisting).
+
+    iters scales inversely with the roofline bound so every class runs
+    >=150 ms on device — the ~10 ms relay dispatch then contributes <7%
+    even to the smallest classes (a fixed 50 iters leaves a 0.05 ms class
+    at 2.5 ms total, i.e. 5x dispatch inflation)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
     from jax import lax
 
+    if iters is None:
+        iters = min(4000, max(50, int(150.0 / max(cls["t_bound_ms"], 0.005))))
     (lshape, ldt), (rshape, rdt) = cls["lhs"], cls["rhs"]
     lhs = jax.random.uniform(jax.random.key(0), lshape, jnp.float32).astype(ldt)
     rhs = (jax.random.uniform(jax.random.key(1), rshape, jnp.float32) * 0.1).astype(rdt)
@@ -168,7 +178,7 @@ def measure_class(cls, iters=50):
     s = fn(jnp.float32(0.0))
     _ = np.asarray(s)
     dt = (time.perf_counter() - t0) / iters
-    return dt * 1e3
+    return dt * 1e3, iters
 
 
 def cmd_enumerate():
@@ -189,15 +199,20 @@ def cmd_enumerate():
           f"(MXU-only {tot_f / PEAK_FLOPS * 1e3:.1f} ms)")
 
 
-def cmd_measure():
+def cmd_measure(top=None):
     with open(PATH) as f:
         rec = json.load(f)
-    for i, cls in enumerate(rec["classes"]):
-        ms = measure_class(cls)
+    classes = rec["classes"][:int(top)] if top else rec["classes"]
+    for i, cls in enumerate(classes):
+        if "t_measured_ms" in cls:
+            continue  # resume across relay wedges
+        ms, iters = measure_class(cls)
         cls["t_measured_ms"] = round(ms, 4)
-        print(f"[{i + 1}/{len(rec['classes'])}] "
+        cls["t_measured_iters"] = iters
+        print(f"[{i + 1}/{len(classes)}] "
               f"lhs={cls['lhs'][0]} rhs={cls['rhs'][0]} x{cls['count']}: "
-              f"{ms:.3f} ms (bound {cls['t_bound_ms']:.3f})", flush=True)
+              f"{ms:.3f} ms (bound {cls['t_bound_ms']:.3f}, {iters} it)",
+              flush=True)
         with open(PATH, "w") as f:
             json.dump(rec, f, indent=1)
 
@@ -225,5 +240,15 @@ def cmd_report():
 
 
 if __name__ == "__main__":
-    {"enumerate": cmd_enumerate, "measure": cmd_measure,
-     "report": cmd_report}[sys.argv[1] if len(sys.argv) > 1 else "enumerate"]()
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    kv = dict(a[2:].split("=", 1) for a in sys.argv[1:] if a.startswith("--"))
+    ARCH = kv.get("arch", ARCH)
+    KIND = kv.get("kind", KIND)
+    TAG = kv.get("tag", f"{ARCH.replace('net', '')}{KIND}"
+                 if "arch" in kv or "kind" in kv else TAG)
+    PATH = f"data/output/roofline_{TAG}.json"
+    cmd = args[0] if args else "enumerate"
+    if cmd == "measure":
+        cmd_measure(top=kv.get("top"))
+    else:
+        {"enumerate": cmd_enumerate, "report": cmd_report}[cmd]()

@@ -141,14 +141,22 @@ def main():
         "test_throughput_img_s": round(float(fps), 1),
         "checkpoint": trainer.model_path,
         "hparams": {
+            "lr": 0.01, "optimizer": "adam", "scheduler": "plateau",
+            "weight_decay": 1e-4, "dropout": 0.5, "loss_reduction": "sum",
+            "batch": args.batch, "epochs": args.epochs,
+            "augment": "crop+flip+affine", "early_stop": 12,
+            "reference_recipe": True, "mixed_precision": True,
+        } if args.reference_recipe else {
             "lr": args.lr, "lr_min": args.lr_min, "warmup": args.warmup,
             "batch": args.batch, "optimizer": "sgd",
             "momentum": args.momentum, "nesterov": args.nesterov,
             "weight_decay": args.wd, "dropout": args.dropout,
             "scheduler": "cosine", "epochs": args.epochs,
             "label_smoothing": args.label_smoothing,
+            "mixup": args.mixup,
             "augment": "crop+flip+affine" if args.affine else "crop+flip",
             "mixed_precision": True,
+            "reference_recipe": False,
         },
     }
     path = args.results or os.path.join(
