@@ -12,7 +12,9 @@ from convnets_tpu.ops.pool import (  # noqa: F401
     global_avg_pool2d,
     adaptive_avg_pool2d,
 )
-from convnets_tpu.ops.norm import batch_norm_train, batch_norm_inference  # noqa: F401
+from convnets_tpu.ops.norm import (  # noqa: F401
+    batch_norm_train, batch_norm_inference, batch_stats, bn_apply_stats,
+)
 from convnets_tpu.ops.activations import (  # noqa: F401
     relu,
     sigmoid,

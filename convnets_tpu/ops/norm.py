@@ -98,6 +98,68 @@ def _bn_core_bwd(eps, res, cts):
 _bn_core.defvjp(_bn_core_fwd, _bn_core_bwd)
 
 
+def batch_stats(x):
+    """Per-channel (mean, biased var) of x over (N, H, W) in float32.
+
+    The shared-stats half of the fused DenseNet block (models/densenet.py
+    DenseBlockFused): in a dense block every layer's BN re-reduces the SAME
+    accumulated feature buffer, so per-(layer, block) statistics are
+    per-block statistics computed L times — O(L²) full-buffer reductions
+    that this factoring makes O(L)."""
+    axes = tuple(range(x.ndim - 1))
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=axes)
+    var = jnp.maximum(jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean), 0.0)
+    return mean, var
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def bn_apply_stats(x, mean, var, scale, bias, eps=1e-5):
+    """Train-mode batch norm with externally supplied BATCH statistics.
+
+    `mean`/`var` MUST be the batch statistics of `x` itself (e.g. from
+    batch_stats over the same content) — the hand-written VJP returns the
+    textbook total-derivative BN gradient
+        dx = γ·inv · (dy − mean(dy) − x̂·mean(dy·x̂))
+    which already folds in the gradient path through the statistics, and
+    therefore gives mean/var ZERO cotangent. With per-block stats shared
+    across N consumer layers, each consumer contributes exactly the
+    gradient its private BN would have produced in the standard (unshared)
+    formulation — summed over consumers by the usual fanout — so the fused
+    dense block is gradient-exact vs the reference composition
+    (tests/test_densenet_fused.py)."""
+    inv = jax.lax.rsqrt(var + eps)
+    return _apply_norm(x, mean, inv, scale, bias).astype(x.dtype)
+
+
+def _bn_apply_stats_fwd(x, mean, var, scale, bias, eps):
+    inv = jax.lax.rsqrt(var + eps)
+    y = _apply_norm(x, mean, inv, scale, bias).astype(x.dtype)
+    return y, (x, mean, inv, scale)
+
+
+def _bn_apply_stats_bwd(eps, res, dy):
+    x, mean, inv, scale = res
+    axes = tuple(range(x.ndim - 1))
+    n = 1
+    for a in axes:
+        n *= x.shape[a]
+    cd = x.dtype
+    xhat = (x - mean.astype(cd)) * inv.astype(cd)
+    dyf = dy.astype(jnp.float32)
+    sum_dy = jnp.sum(dyf, axis=axes)
+    sum_dy_xhat = jnp.sum(dyf * xhat.astype(jnp.float32), axis=axes)
+    g = scale.astype(jnp.float32) * inv
+    dx = (g.astype(cd) * (dy
+                          - (sum_dy / n).astype(cd)
+                          - xhat * (sum_dy_xhat / n).astype(cd))).astype(cd)
+    return (dx, jnp.zeros_like(mean), jnp.zeros_like(inv),
+            sum_dy_xhat.astype(scale.dtype), sum_dy.astype(scale.dtype))
+
+
+bn_apply_stats.defvjp(_bn_apply_stats_fwd, _bn_apply_stats_bwd)
+
+
 def batch_norm_train(x, running_mean, running_var, scale, bias, *, eps=1e-5, momentum=0.1):
     """Normalize with batch statistics; return (y, new_running_mean, new_running_var).
 
