@@ -66,6 +66,11 @@ def _nbytes(aval):
     return int(np.prod(aval.shape)) * aval.dtype.itemsize
 
 
+def _nbytes_shape(shape, dtype):
+    import numpy as np
+    return int(np.prod(shape)) * np.dtype(dtype).itemsize
+
+
 def enumerate_convs():
     """Trace the train step, collect every conv_general_dilated eqn."""
     import jax
@@ -155,9 +160,9 @@ def measure_class(cls, iters=None):
     rhs = (jax.random.uniform(jax.random.key(1), rshape, jnp.float32) * 0.1).astype(rdt)
     dn = lax.ConvDimensionNumbers(*(tuple(d) for d in cls["dn"]))
 
-    def one(x):
+    def one_lr(x, w):
         return lax.conv_general_dilated(
-            x, rhs,
+            x, w,
             window_strides=tuple(cls["window_strides"]),
             padding=[tuple(p) for p in cls["padding"]],
             lhs_dilation=tuple(cls["lhs_dilation"]),
@@ -167,8 +172,25 @@ def measure_class(cls, iters=None):
             batch_group_count=cls["batch_groups"],
         )
 
+    # Chain iterations through the SMALLER operand: scale it by
+    # (1 + s*1e-30) where s is the loop carry. The old `lhs * (1 + s*0.0)`
+    # chain was DEAD — XLA folds s*0.0 to 0, the conv becomes
+    # loop-invariant and is hoisted out of the scan, so every class
+    # "measured" ~0.3 ms of loop overhead (class 1 implied 780 TFLOP/s,
+    # 4x over the v5e peak). s*1e-30 is a real runtime value (~1e-28, so
+    # 1+eps == 1.0 in fp32 — numerics unchanged) that XLA cannot fold,
+    # and scaling the smaller operand keeps the per-iteration tax well
+    # under the smallest class bound (e.g. 1.2 MB weights ~ 3 us).
+    scale_rhs = _nbytes_shape(rshape, rdt) <= _nbytes_shape(lshape, ldt)
+
+    def one_dep(s):
+        eps = (1.0 + s * 1e-30)
+        if scale_rhs:
+            return one_lr(lhs, rhs * eps.astype(rhs.dtype))
+        return one_lr(lhs * eps.astype(lhs.dtype), rhs)
+
     def body(s, _):
-        y = one(lhs * (1.0 + s * 0.0).astype(lhs.dtype))
+        y = one_dep(s)
         return y.reshape(-1)[0].astype(jnp.float32), None
 
     fn = jax.jit(lambda s: lax.scan(body, s, None, length=iters)[0])
