@@ -260,6 +260,31 @@ def cmd_report():
           f"{tot_meas:.1f} ms; attainable img/s at bound "
           f"{BATCH / tot_bound * 1e3:.0f} (convs alone)")
 
+    # VERDICT r4 #6: layers measured >30% above their roofline bound are
+    # the concrete headroom list; everything else is compiler-optimal.
+    hot = [g for g in rows if g.get("t_measured_ms")
+           and g["t_measured_ms"] > 1.3 * g["t_bound_ms"]]
+    hot.sort(key=lambda g: -(g["t_measured_ms"] - g["t_bound_ms"]) * g["count"])
+    print(f"\n{len(hot)}/{len(rows)} classes >30% above bound "
+          f"(by count-weighted excess ms):")
+    for g in hot[:15]:
+        ex = (g["t_measured_ms"] - g["t_bound_ms"]) * g["count"]
+        print(f"  lhs={g['lhs'][0]} rhs={g['rhs'][0]} s={g['window_strides']} "
+              f"x{g['count']}: {g['t_measured_ms']:.3f} ms vs bound "
+              f"{g['t_bound_ms']:.3f} ({g['t_measured_ms'] / g['t_bound_ms']:.2f}x) "
+              f"-> {ex:.2f} ms/step excess")
+    if tot_meas:
+        # Environment ceiling: replace measured conv time with the bound,
+        # keep the measured non-conv remainder of the real step.
+        step_ms = float(os.environ.get("ROOFLINE_STEP_MS", "0")) or None
+        if step_ms:
+            nonconv = step_ms - tot_meas
+            ceil_ms = tot_bound + max(nonconv, 0.0)
+            print(f"\nstep {step_ms:.1f} ms = conv {tot_meas:.1f} + nonconv "
+                  f"{nonconv:.1f}; at roofline the same step is {ceil_ms:.1f} ms "
+                  f"-> ceiling {BATCH / ceil_ms * 1e3:.0f} img/s "
+                  f"(measured {BATCH / step_ms * 1e3:.0f})")
+
 
 if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
