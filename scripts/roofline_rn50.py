@@ -11,9 +11,11 @@ nothing is hand-listed), compute
 
 and measure each distinct conv class on-chip via a dependency-chained
 lax.scan (one dispatch for K iterations — the only trustworthy way to time
-sub-ms ops through the relay, PERF.md §7; the carry feeds a scalar from
-iteration i's output into iteration i+1's input so XLA cannot hoist the
-loop-invariant conv).
+sub-ms ops through the relay, PERF.md §7; each iteration writes a value
+derived from the previous conv's output INTO one operand via an in-place
+dynamic_update_slice, a chain XLA can neither fold, factor through the
+conv's bilinearity, nor hoist — see _chained_scan_fn for the two broken
+generations that forced this design).
 
 v5e-1 peaks: 197 bf16 TFLOP/s (MXU), 819 GB/s HBM.
 
@@ -172,28 +174,7 @@ def measure_class(cls, iters=None):
             batch_group_count=cls["batch_groups"],
         )
 
-    # Chain iterations through the SMALLER operand: scale it by
-    # (1 + s*1e-30) where s is the loop carry. The old `lhs * (1 + s*0.0)`
-    # chain was DEAD — XLA folds s*0.0 to 0, the conv becomes
-    # loop-invariant and is hoisted out of the scan, so every class
-    # "measured" ~0.3 ms of loop overhead (class 1 implied 780 TFLOP/s,
-    # 4x over the v5e peak). s*1e-30 is a real runtime value (~1e-28, so
-    # 1+eps == 1.0 in fp32 — numerics unchanged) that XLA cannot fold,
-    # and scaling the smaller operand keeps the per-iteration tax well
-    # under the smallest class bound (e.g. 1.2 MB weights ~ 3 us).
-    scale_rhs = _nbytes_shape(rshape, rdt) <= _nbytes_shape(lshape, ldt)
-
-    def one_dep(s):
-        eps = (1.0 + s * 1e-30)
-        if scale_rhs:
-            return one_lr(lhs, rhs * eps.astype(rhs.dtype))
-        return one_lr(lhs * eps.astype(lhs.dtype), rhs)
-
-    def body(s, _):
-        y = one_dep(s)
-        return y.reshape(-1)[0].astype(jnp.float32), None
-
-    fn = jax.jit(lambda s: lax.scan(body, s, None, length=iters)[0])
+    fn = _chained_scan_fn(cls, lhs, rhs, one_lr, iters)
     s = fn(jnp.float32(0.0))
     _ = np.asarray(s)  # fence (compile + warmup)
     t0 = time.perf_counter()
@@ -201,6 +182,49 @@ def measure_class(cls, iters=None):
     _ = np.asarray(s)
     dt = (time.perf_counter() - t0) / iters
     return dt * 1e3, iters
+
+
+def _chained_scan_fn(cls, lhs, rhs, one_lr, iters):
+    """Build the dependency-chained timing loop for one conv class.
+
+    The chain must be one XLA provably cannot remove. Two broken
+    generations taught us what that takes:
+      gen 1: `lhs * (1 + s*0.0)` — s*0.0 folds to 0, the conv goes
+             loop-invariant and is hoisted (class 1 implied 780 TFLOP/s).
+      gen 2: `rhs * (1 + s*1e-30)` — the scale is a real runtime value,
+             but convolution is BILINEAR, so the TPU pipeline rewrites
+             conv(lhs, rhs*eps) -> conv(lhs, rhs)*eps, hoists the conv,
+             and with only y[0] live the loop body degenerates to scalar
+             arithmetic (re-measure implied 950+ TFLOP/s, 5x v5e peak).
+    gen 3 (this): the smaller operand travels as a LOOP CARRY and each
+    iteration writes `orig0 + s*1e-30` into its element [0] via
+    dynamic_update_slice (in-place on the aliased carry buffer — no copy,
+    ~ns). conv(lhs, dus(buf, f(s))) is not factorable through bilinearity
+    (the perturbation is per-element, not a scalar field), the buffer is
+    genuinely loop-variant, and XLA has no slice-through-conv narrowing,
+    so the full conv must execute every iteration. s*1e-30 ~ 1e-28 keeps
+    1 ulp of numerics headroom (value unchanged in fp32/bf16).
+    cmd_measure additionally rejects any timing whose implied TFLOP/s
+    exceeds the chip peak — the invariant both broken generations violated.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    lshape, rshape = lhs.shape, rhs.shape
+    chain_rhs = _nbytes_shape(rshape, rhs.dtype) <= _nbytes_shape(lshape, lhs.dtype)
+    buf0 = rhs if chain_rhs else lhs
+    orig0 = buf0.reshape(-1)[0].astype(jnp.float32)
+
+    def body(carry, _):
+        s, buf = carry
+        upd = (orig0 + s * 1e-30).astype(buf.dtype).reshape((1,) * buf.ndim)
+        buf = lax.dynamic_update_slice(buf, upd, (0,) * buf.ndim)
+        y = one_lr(lhs, buf) if chain_rhs else one_lr(buf, rhs)
+        return (y.reshape(-1)[0].astype(jnp.float32), buf), None
+
+    return jax.jit(
+        lambda s: lax.scan(body, (s, buf0), None, length=iters)[0][0])
 
 
 def cmd_enumerate():
@@ -221,6 +245,11 @@ def cmd_enumerate():
           f"(MXU-only {tot_f / PEAK_FLOPS * 1e3:.1f} ms)")
 
 
+def implied_tflops(cls, ms):
+    """Compute rate a timing implies for this class, in TFLOP/s."""
+    return cls["flops"] / (ms * 1e-3) / 1e12
+
+
 def cmd_measure(top=None):
     with open(PATH) as f:
         rec = json.load(f)
@@ -231,6 +260,20 @@ def cmd_measure(top=None):
         ms, iters = measure_class(cls)
         cls["t_measured_ms"] = round(ms, 4)
         cls["t_measured_iters"] = iters
+        # Physical-impossibility guard: both broken chain generations
+        # (see _chained_scan_fn) produced timings whose implied compute
+        # rate exceeded the chip's peak. Never record such a number as
+        # a plain measurement again.
+        implied = implied_tflops(cls, ms)
+        if implied > 1.15 * PEAK_FLOPS / 1e12:
+            cls["t_measured_invalid_tflops"] = round(implied, 1)
+            print(f"[{i + 1}/{len(classes)}] INVALID measurement: "
+                  f"{ms:.3f} ms implies {implied:.0f} TFLOP/s "
+                  f"> peak {PEAK_FLOPS / 1e12:.0f} — dependency chain "
+                  f"defeated again; aborting", flush=True)
+            with open(PATH, "w") as f:
+                json.dump(rec, f, indent=1)
+            raise SystemExit(2)
         print(f"[{i + 1}/{len(classes)}] "
               f"lhs={cls['lhs'][0]} rhs={cls['rhs'][0]} x{cls['count']}: "
               f"{ms:.3f} ms (bound {cls['t_bound_ms']:.3f}, {iters} it)",

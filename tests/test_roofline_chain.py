@@ -1,9 +1,19 @@
 """The roofline per-conv timer must actually re-execute the conv each scan
-iteration. An earlier version chained iterations through `lhs * (1 + s*0.0)`;
-XLA folds s*0.0 to 0, hoists the then-loop-invariant conv out of the while
-loop, and the 'measurement' was loop overhead (the top RN50 class implied
-780 TFLOP/s — 4x the v5e peak). This pins the fixed chain: the compiled HLO
-must keep the convolution INSIDE the while body.
+iteration. Two broken generations of the dependency chain motivated these
+tests (history in scripts/roofline_rn50.py:_chained_scan_fn):
+
+  gen 1: `lhs * (1 + s*0.0)` — s*0.0 folded to 0, conv hoisted; the top
+         RN50 class implied 780 TFLOP/s, 4x the v5e peak.
+  gen 2: `rhs * (1 + s*1e-30)` — a genuine runtime scale, but conv is
+         BILINEAR: the TPU pipeline factors conv(l, r*eps) into
+         conv(l, r)*eps and hoists the conv anyway (950+ TFLOP/s implied).
+
+gen 3 chains through an in-place dynamic_update_slice on a loop-carried
+operand buffer, which is not factorable. These tests pin (a) the compiled
+HLO keeps the convolution inside the while body, (b) the chain is the DUS
+form (the only one with no known algebraic escape), and (c) the
+physical-impossibility guard that converts any future silent escape into
+a loud failure.
 """
 
 import importlib.util
@@ -33,6 +43,8 @@ SMALL_CLASS = {
     "groups": 1,
     "batch_groups": 1,
     "t_bound_ms": 0.05,
+    # flops for the guard: 2 * |out| * kh*kw*Cin = 2*4*8*8*16*3*3*16
+    "flops": 2.0 * 4 * 8 * 8 * 16 * 3 * 3 * 16,
 }
 
 
@@ -43,28 +55,28 @@ def test_measure_class_runs_and_returns_positive():
     assert ms > 0
 
 
-def test_conv_stays_inside_the_while_body():
+def _lowered_hlo(iters=16):
     import jax
     import jax.numpy as jnp
     from jax import lax
 
+    rl = _load_roofline()
     cls = SMALL_CLASS
     lhs = jnp.zeros(cls["lhs"][0], jnp.float32)
     rhs = jnp.zeros(cls["rhs"][0], jnp.float32)
     dn = lax.ConvDimensionNumbers(*(tuple(d) for d in cls["dn"]))
 
-    # Same chaining construction as measure_class (small operand scaled by
-    # 1 + s*1e-30, s carried from the previous iteration's output).
-    def body(s, _):
-        y = lax.conv_general_dilated(
-            lhs, rhs * (1.0 + s * 1e-30).astype(rhs.dtype),
-            window_strides=(1, 1), padding=[(1, 1), (1, 1)],
+    def one_lr(x, w):
+        return lax.conv_general_dilated(
+            x, w, window_strides=(1, 1), padding=[(1, 1), (1, 1)],
             dimension_numbers=dn)
-        return y.reshape(-1)[0].astype(jnp.float32), None
 
-    fn = jax.jit(lambda s: lax.scan(body, s, None, length=16)[0])
-    hlo = fn.lower(jnp.float32(0.0)).compile().as_text()
+    fn = rl._chained_scan_fn(cls, lhs, rhs, one_lr, iters)
+    return fn.lower(jnp.float32(0.0)).compile().as_text()
 
+
+def test_conv_stays_inside_the_while_body():
+    hlo = _lowered_hlo()
     # One while loop, and the convolution is defined inside a (fused)
     # computation that the while body calls — i.e. it was NOT hoisted to
     # the entry computation ahead of the loop.
@@ -75,7 +87,22 @@ def test_conv_stays_inside_the_while_body():
     assert re.search(r"convolution", hlo), "conv disappeared entirely"
 
 
-# NOTE: the broken s*0.0 form is NOT reproducible on CPU XLA (its
-# simplifier keeps the mul); the fold-and-hoist was observed on the TPU
-# pipeline, where class timings implied >peak throughput. The 1e-30 form
-# is safe on every backend because the scale is a genuine runtime value.
+def test_chain_is_the_dus_form():
+    # The update must survive compilation as a dynamic-update-slice (the
+    # non-factorable chain); a scalar-multiply chain compiles to pure
+    # multiplies and would fail this.
+    hlo = _lowered_hlo()
+    assert "dynamic-update-slice" in hlo, (
+        "the loop-carried DUS chain was compiled away — the timer is "
+        "vulnerable to the bilinearity factoring that broke gen 2")
+
+
+def test_impossible_timing_is_flagged():
+    rl = _load_roofline()
+    cls = dict(SMALL_CLASS)
+    # 1.18 MFLOP in 1 ns -> ~1180 TFLOP/s, way over any chip peak.
+    assert rl.implied_tflops(cls, 1e-6) > 1.15 * rl.PEAK_FLOPS / 1e12
+    # A sane timing stays under the guard: the bound itself implies
+    # at most the peak by construction.
+    sane_ms = cls["flops"] / rl.PEAK_FLOPS * 1e3
+    assert rl.implied_tflops(cls, sane_ms) <= 1.15 * rl.PEAK_FLOPS / 1e12
