@@ -175,10 +175,10 @@ def measure_class(cls, iters=None):
         )
 
     fn = _chained_scan_fn(cls, lhs, rhs, one_lr, iters)
-    s = fn(jnp.float32(0.0))
+    s = fn(jnp.float32(0.0), lhs, rhs)
     _ = np.asarray(s)  # fence (compile + warmup)
     t0 = time.perf_counter()
-    s = fn(jnp.float32(0.0))
+    s = fn(jnp.float32(0.0), lhs, rhs)
     _ = np.asarray(s)
     dt = (time.perf_counter() - t0) / iters
     return dt * 1e3, iters
@@ -206,6 +206,12 @@ def _chained_scan_fn(cls, lhs, rhs, one_lr, iters):
     1 ulp of numerics headroom (value unchanged in fp32/bf16).
     cmd_measure additionally rejects any timing whose implied TFLOP/s
     exceeds the chip peak — the invariant both broken generations violated.
+
+    The operands are jit ARGUMENTS, not closure captures: captured arrays
+    are embedded as constants in the compile request, and the relay caps
+    the request body — the 50–200 MB activation-grad operands of the
+    weight-gradient classes blew it up (HTTP 413 at RN50 class 29 /
+    DN121 class 11 on both earlier runs).
     """
     import jax
     import jax.numpy as jnp
@@ -213,18 +219,21 @@ def _chained_scan_fn(cls, lhs, rhs, one_lr, iters):
 
     lshape, rshape = lhs.shape, rhs.shape
     chain_rhs = _nbytes_shape(rshape, rhs.dtype) <= _nbytes_shape(lshape, lhs.dtype)
-    buf0 = rhs if chain_rhs else lhs
-    orig0 = buf0.reshape(-1)[0].astype(jnp.float32)
 
-    def body(carry, _):
-        s, buf = carry
-        upd = (orig0 + s * 1e-30).astype(buf.dtype).reshape((1,) * buf.ndim)
-        buf = lax.dynamic_update_slice(buf, upd, (0,) * buf.ndim)
-        y = one_lr(lhs, buf) if chain_rhs else one_lr(buf, rhs)
-        return (y.reshape(-1)[0].astype(jnp.float32), buf), None
+    def run(s, lhs, rhs):
+        buf0 = rhs if chain_rhs else lhs
+        orig0 = buf0.reshape(-1)[0].astype(jnp.float32)
 
-    return jax.jit(
-        lambda s: lax.scan(body, (s, buf0), None, length=iters)[0][0])
+        def body(carry, _):
+            s, buf = carry
+            upd = (orig0 + s * 1e-30).astype(buf.dtype).reshape((1,) * buf.ndim)
+            buf = lax.dynamic_update_slice(buf, upd, (0,) * buf.ndim)
+            y = one_lr(lhs, buf) if chain_rhs else one_lr(buf, rhs)
+            return (y.reshape(-1)[0].astype(jnp.float32), buf), None
+
+        return lax.scan(body, (s, buf0), None, length=iters)[0][0]
+
+    return jax.jit(run)
 
 
 def cmd_enumerate():

@@ -72,7 +72,13 @@ def _lowered_hlo(iters=16):
             dimension_numbers=dn)
 
     fn = rl._chained_scan_fn(cls, lhs, rhs, one_lr, iters)
-    return fn.lower(jnp.float32(0.0)).compile().as_text()
+    hlo = fn.lower(jnp.float32(0.0), lhs, rhs).compile().as_text()
+    # Operands must be runtime parameters, not embedded constants (the
+    # relay caps the compile-request body; closure-captured arrays
+    # produced HTTP 413 on the big weight-grad classes).
+    entry = hlo.split("ENTRY")[-1]
+    assert entry.count("parameter(") >= 3
+    return hlo
 
 
 def test_conv_stays_inside_the_while_body():
