@@ -196,16 +196,27 @@ def _chained_scan_fn(cls, lhs, rhs, one_lr, iters):
              conv(lhs, rhs*eps) -> conv(lhs, rhs)*eps, hoists the conv,
              and with only y[0] live the loop body degenerates to scalar
              arithmetic (re-measure implied 950+ TFLOP/s, 5x v5e peak).
-    gen 3 (this): the smaller operand travels as a LOOP CARRY and each
+    gen 3: the smaller operand travels as a LOOP CARRY and each
     iteration writes `orig0 + s*1e-30` into its element [0] via
-    dynamic_update_slice (in-place on the aliased carry buffer — no copy,
-    ~ns). conv(lhs, dus(buf, f(s))) is not factorable through bilinearity
-    (the perturbation is per-element, not a scalar field), the buffer is
-    genuinely loop-variant, and XLA has no slice-through-conv narrowing,
-    so the full conv must execute every iteration. s*1e-30 ~ 1e-28 keeps
-    1 ulp of numerics headroom (value unchanged in fp32/bf16).
+    dynamic_update_slice, chaining through `y.reshape(-1)[0]`. The input
+    side held, but the OUTPUT side was dead: with a single output element
+    live, the TPU pipeline narrows the conv to (effectively) that one
+    element's window dot — on-chip class 1 measured 0.064 ms, implied
+    930 TFLOP/s, caught by the guard. Lesson: the chain must keep every
+    output element live, not just reach through one.
+    gen 4 (this): same loop-variant DUS perturbation on the carried
+    operand, but the carry scalar is now `sum(y*y)` over the ENTIRE
+    output in f32. Sum-of-squares is non-linear in y, so no bilinearity
+    identity can collapse it (a plain `sum(y)` is itself a linear
+    functional of each operand and could in principle be rewritten as a
+    cheap marginal contraction — don't use it), and every output element
+    is live, so the full conv must execute every iteration. The epilogue
+    costs one fused square+reduce pass over the output — bounded by the
+    out-write bytes already counted in t_bw, i.e. at most ~2x on a
+    pure-output-bandwidth class and noise on every flop-bound one.
+    s*1e-30 keeps the perturbation ~1 ulp (value unchanged in fp32/bf16).
     cmd_measure additionally rejects any timing whose implied TFLOP/s
-    exceeds the chip peak — the invariant both broken generations violated.
+    exceeds the chip peak — the invariant every broken generation violated.
 
     The operands are jit ARGUMENTS, not closure captures: captured arrays
     are embedded as constants in the compile request, and the relay caps
@@ -229,7 +240,9 @@ def _chained_scan_fn(cls, lhs, rhs, one_lr, iters):
             upd = (orig0 + s * 1e-30).astype(buf.dtype).reshape((1,) * buf.ndim)
             buf = lax.dynamic_update_slice(buf, upd, (0,) * buf.ndim)
             y = one_lr(lhs, buf) if chain_rhs else one_lr(buf, rhs)
-            return (y.reshape(-1)[0].astype(jnp.float32), buf), None
+            # every output element live, non-linearly (see docstring):
+            yf = y.astype(jnp.float32)
+            return (jnp.sum(yf * yf), buf), None
 
         return lax.scan(body, (s, buf0), None, length=iters)[0][0]
 

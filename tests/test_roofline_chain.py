@@ -8,12 +8,19 @@ tests (history in scripts/roofline_rn50.py:_chained_scan_fn):
          BILINEAR: the TPU pipeline factors conv(l, r*eps) into
          conv(l, r)*eps and hoists the conv anyway (950+ TFLOP/s implied).
 
-gen 3 chains through an in-place dynamic_update_slice on a loop-carried
-operand buffer, which is not factorable. These tests pin (a) the compiled
-HLO keeps the convolution inside the while body, (b) the chain is the DUS
-form (the only one with no known algebraic escape), and (c) the
-physical-impossibility guard that converts any future silent escape into
-a loud failure.
+  gen 3: DUS chain on the carried operand, but consuming only
+         `y.reshape(-1)[0]` — with one output element live the TPU
+         pipeline narrows the conv to that element's window dot
+         (on-chip: 0.064 ms, 930 implied TFLOP/s, caught by the guard).
+
+gen 4 keeps the in-place dynamic_update_slice on a loop-carried operand
+buffer (input side: not factorable) and chains through `sum(y*y)` over
+the whole output (output side: every element live, and sum-of-squares is
+non-linear so no bilinearity identity collapses it). These tests pin
+(a) the compiled HLO keeps the convolution inside the while body, (b) the
+chain is the DUS form, (c) the carry consumes the full output via the
+non-linear reduction, and (d) the physical-impossibility guard that
+converts any future silent escape into a loud failure.
 """
 
 import importlib.util
@@ -101,6 +108,43 @@ def test_chain_is_the_dus_form():
     assert "dynamic-update-slice" in hlo, (
         "the loop-carried DUS chain was compiled away — the timer is "
         "vulnerable to the bilinearity factoring that broke gen 2")
+
+
+def test_chain_consumes_full_output_nonlinearly():
+    # Semantics pin: the carry after k iterations must equal the
+    # hand-rolled loop that perturbs buf[0...0] and reduces sum(y*y)
+    # over the ENTIRE output. A chain that only touches y[0] (gen 3's
+    # silent failure) diverges from this immediately.
+    import numpy as np
+    import jax.numpy as jnp
+    from jax import lax
+
+    rl = _load_roofline()
+    cls = SMALL_CLASS
+    rng = np.random.RandomState(0)
+    lhs = jnp.asarray(rng.uniform(size=cls["lhs"][0]).astype(np.float32))
+    rhs = jnp.asarray(
+        (rng.uniform(size=cls["rhs"][0]) * 0.1).astype(np.float32))
+    dn = lax.ConvDimensionNumbers(*(tuple(d) for d in cls["dn"]))
+
+    def one_lr(x, w):
+        return lax.conv_general_dilated(
+            x, w, window_strides=(1, 1), padding=[(1, 1), (1, 1)],
+            dimension_numbers=dn)
+
+    iters = 3
+    fn = rl._chained_scan_fn(cls, lhs, rhs, one_lr, iters)
+    got = float(fn(jnp.float32(0.0), lhs, rhs))
+
+    # reference loop (rhs is the smaller operand -> it carries the chain)
+    buf = np.asarray(rhs).copy()
+    orig0 = buf.reshape(-1)[0]
+    s = 0.0
+    for _ in range(iters):
+        buf.reshape(-1)[0] = np.float32(orig0 + s * 1e-30)
+        y = np.asarray(one_lr(lhs, jnp.asarray(buf)))
+        s = float((y.astype(np.float64) ** 2).sum())
+    np.testing.assert_allclose(got, s, rtol=1e-4)
 
 
 def test_impossible_timing_is_flagged():
