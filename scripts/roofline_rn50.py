@@ -99,6 +99,13 @@ def enumerate_convs():
                 rhs_spatial = [rhs.shape[d] for d in dn.rhs_spec[2:]]
                 rhs_in = rhs.shape[dn.rhs_spec[1]]
                 flops = 2.0 * np.prod(out.shape) * np.prod(rhs_spatial) * rhs_in
+                # lhs_dilation (stride-2 input-grad convs) inserts zeros
+                # between input rows/cols: of the k taps per axis only
+                # ~k/d land on real elements (exactly k/d for the k=3,d=2
+                # classes here), and XLA's dilated-conv lowering skips the
+                # zeros — counting them overstates MACs by prod(d) and
+                # made class 4 imply 436 TFLOP/s on a 197 TFLOP/s chip.
+                flops /= float(np.prod(p["lhs_dilation"]))
                 bytes_ = _nbytes(lhs) + _nbytes(rhs) + _nbytes(out)
                 convs.append({
                     "lhs": [list(lhs.shape), str(lhs.dtype)],
