@@ -4,10 +4,14 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "img/s", "vs_baseline": N}
 
 vs_baseline is the fraction of the north-star target (BASELINE.json):
->=90% of the XLA speed-of-light images/sec/chip on TPU v5e. Speed of light
-for ResNet-50 train (fwd+bwd ≈ 3 × 4.09 GFLOP at 224×224) on v5e
-(197 bf16 TFLOP/s) is ~16,000 img/s, so the target is 0.9 × 16,000 = 14,400;
-vs_baseline = measured / 14,400 (≥1.0 means the north star is met).
+>=90% of the XLA speed-of-light images/sec/chip on TPU v5e. The target
+14,400 was derived as 0.9 x 16,000 img/s, treating ResNet-50's published
+4.09 G *MACs* per forward as GFLOPs; under the mul+add=2 convention the
+197 bf16 TFLOP/s peak uses, train is 3 x 8.2 = 24.6 GFLOP/image and the
+physical speed of light is ~8,070 img/s (PERF.md S3). The 14,400 target is
+kept as recorded (vs_baseline = measured / 14,400) but sits at 1.78x the
+chip's physical limit for this model; see secondary keys sol_img_s /
+vs_physical_sol and vs_xla_public for the honest reference points.
 
 Protocol: synthetic on-device data (input pipeline measured separately),
 jitted full train step (fwd+bwd+Adam+BN), 5 warmup steps (amortizes compile),
@@ -170,10 +174,13 @@ def main():
             secondary["pipeline_cinic_rn26_img_s"] = round(measure_pipeline(), 2)
         except Exception as e:
             secondary["pipeline_error"] = str(e)[:120]
-        # context: the 14,400 target is 90% MFU speed-of-light; the measured
-        # XLA ceiling for this shape mix is ~20% conv MXU util (PERF.md §2),
-        # and public XLA RN50-on-v5e lands at ~2,300-2,400 img/s/chip —
-        # vs_xla_public situates the number against that realistic bar
+        # context: the 14,400 target was derived from a MAC/FLOP convention
+        # mixup (docstring): the chip's physical speed of light for RN50
+        # train (24.6 GFLOP/img, 197 TFLOP/s) is ~8,070 img/s, and public
+        # XLA RN50-on-v5e lands at ~2,300-2,400 img/s/chip — these keys
+        # situate the number against the two honest bars (PERF.md §3/§3b)
+        secondary["sol_img_s"] = 8070.0
+        secondary["vs_physical_sol"] = round(value / 8070.0, 4)
         secondary["xla_rn50_v5e_public_img_s"] = 2400.0
         secondary["vs_xla_public"] = round(value / 2400.0, 4)
         record["secondary"] = secondary
