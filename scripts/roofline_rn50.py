@@ -70,7 +70,11 @@ def _nbytes(aval):
 
 def _nbytes_shape(shape, dtype):
     import numpy as np
-    return int(np.prod(shape)) * np.dtype(dtype).itemsize
+    if str(dtype) == "bfloat16":   # plain numpy (report path) lacks it
+        itemsize = 2
+    else:
+        itemsize = np.dtype(dtype).itemsize
+    return int(np.prod(shape)) * itemsize
 
 
 def enumerate_convs():
