@@ -10,7 +10,12 @@ from __future__ import annotations
 import argparse
 import sys
 
-from convnets_tpu.drivers import process_fit, process_load, process_tune
+from convnets_tpu.drivers import (
+    process_export,
+    process_fit,
+    process_load,
+    process_tune,
+)
 from convnets_tpu.models import available_models
 from convnets_tpu.settings import Settings
 
@@ -88,6 +93,21 @@ def main(argv=None):
     p_load.add_argument("--resume", action="store_true")
     p_load.add_argument("--testing", action="store_true")
 
+    p_exp = sub.add_parser(
+        "export", help="write a standalone AOT serving artifact (StableHLO)")
+    _add_common(p_exp)
+    p_exp.add_argument("--path", default=None, help="checkpoint path "
+                       "(default: latest for this model)")
+    p_exp.add_argument("--out", required=True, help="artifact output file")
+    p_exp.add_argument("--serve-batch", type=int, default=None,
+                       help="fix the serving batch (default: symbolic — "
+                       "one artifact serves any batch size)")
+    p_exp.add_argument("--probs", action="store_true",
+                       help="export softmax probabilities instead of logits")
+    p_exp.add_argument("--bake-norm", action="store_true",
+                       help="compile the dataset normalization into the "
+                       "graph (requests then send raw [0,1] pixels)")
+
     p_models = sub.add_parser("models", help="list available architectures")
 
     args = parser.parse_args(argv)
@@ -106,6 +126,11 @@ def main(argv=None):
         process_load(args.arch, setting, path=args.path,
                      resume_training=args.resume, testing=args.testing,
                      data_root=args.data_root, optimizer=args.optimizer)
+    elif args.cmd == "export":
+        process_export(args.arch, setting, out_path=args.out,
+                       ckpt_path=args.path, serve_batch=args.serve_batch,
+                       output="probs" if args.probs else "logits",
+                       bake_norm=args.bake_norm, data_root=args.data_root)
     return 0
 
 

@@ -114,3 +114,42 @@ def process_load(arch: str, setting: Settings, path: Optional[str] = None,
         tuning=True, results=meta.get("extra", {}),
     )
     return trainer, meta
+
+
+def process_export(arch: str, setting: Settings, out_path: str,
+                   ckpt_path: Optional[str] = None,
+                   serve_batch: Optional[int] = None,
+                   output: str = "logits",
+                   bake_norm: bool = False,
+                   data_root: Optional[str] = None,
+                   platforms: Optional[Tuple[str, ...]] = None) -> dict:
+    """Load a checkpoint and write a standalone AOT serving artifact
+    (convnets_tpu.serve) — the deployment step the reference stops short
+    of (its serving story is checkpoint reload inside the training
+    process, template_net.py:221-261). With bake_norm=True the dataset's
+    per-channel normalization (reference mngrdata.py:61-72, applied
+    host-side there) is compiled into the graph and served requests send
+    raw [0,1] pixels."""
+    from convnets_tpu.serve import export_trainer
+
+    model = build_model(arch, setting)
+    trainer = Trainer(model)
+    trainer.load_checkpoint(ckpt_path)
+
+    stats = None
+    class_names = None
+    if bake_norm or data_root is not None:
+        data = DataMngr(trainer.setting, root=data_root)
+        ds = data.load_train().dataset
+        if bake_norm:
+            stats = (ds.mean, ds.std)
+        class_names = getattr(ds, "class_names", None)
+
+    kwargs = {} if platforms is None else {"platforms": platforms}
+    meta = export_trainer(trainer, out_path, batch_size=serve_batch,
+                          output=output, stats=stats,
+                          class_names=class_names, **kwargs)
+    print(f"exported {meta['model_name']} -> {out_path} "
+          f"(batch={meta['batch']}, output={meta['output']}, "
+          f"platforms={','.join(meta['platforms'])})")
+    return meta
