@@ -37,10 +37,12 @@ _DEFAULT_PLATFORMS = ("tpu", "cpu")
 
 
 def _serving_forward(model, variables, output: str,
-                     stats: Optional[Tuple[np.ndarray, np.ndarray]]):
+                     stats: Optional[Tuple[np.ndarray, np.ndarray]],
+                     input_dtype: str = "float32"):
     """Closure the exported program is traced from: variables become
-    embedded constants; input is fp32 NHWC in [0,1] (or raw pixel units —
-    whatever the baked stats expect), logits come back fp32."""
+    embedded constants; input is NHWC — fp32 in [0,1], or raw uint8
+    pixels (the wire format for image serving: 4x fewer host→device
+    bytes, dequantization baked into the graph) — logits come back fp32."""
     compute_dtype = model.policy.compute_dtype
     if stats is not None:
         mean = jnp.asarray(np.asarray(stats[0]).reshape(1, 1, 1, -1),
@@ -52,6 +54,8 @@ def _serving_forward(model, variables, output: str,
 
     def forward(x):
         x = x.astype(jnp.float32)
+        if input_dtype == "uint8":
+            x = x * (1.0 / 255.0)
         if mean is not None:
             x = (x - mean) / std
         y, _ = model.module.apply(variables, x.astype(compute_dtype),
@@ -67,6 +71,7 @@ def _serving_forward(model, variables, output: str,
 def export_model(model, variables, *, batch_size: Optional[int] = None,
                  output: str = "logits",
                  stats: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+                 input_dtype: str = "float32",
                  platforms: Sequence[str] = _DEFAULT_PLATFORMS):
     """Export the eval forward as a `jax.export.Exported`.
 
@@ -74,30 +79,39 @@ def export_model(model, variables, *, batch_size: Optional[int] = None,
     output: "logits" (fp32) or "probs" (softmax).
     stats: optional (mean, std) per-channel arrays baked into the graph
       (the dataset normalization the reference applies host-side,
-      `mngrdata.py:61-72` — served requests then send raw [0,1] pixels).
+      `mngrdata.py:61-72` — served requests then send raw pixels).
+    input_dtype: "float32" ([0,1] pixels) or "uint8" (raw bytes on the
+      wire, /255 dequantization in-graph — 4x fewer host→device bytes;
+      with stats, normalization composes after the dequant).
     """
     if output not in ("logits", "probs"):
         raise ValueError(f"output must be 'logits' or 'probs', got {output!r}")
+    if input_dtype not in ("float32", "uint8"):
+        raise ValueError(f"input_dtype must be 'float32' or 'uint8', "
+                         f"got {input_dtype!r}")
     _, h, w = model.setting.input_size  # CHW, reference convention
     c = model.setting.input_size[0]
     if batch_size is None:
         (b,) = jex.symbolic_shape("b")
     else:
         b = int(batch_size)
-    spec = jax.ShapeDtypeStruct((b, h, w, c), jnp.float32)
-    fwd = _serving_forward(model, variables, output, stats)
+    spec = jax.ShapeDtypeStruct(
+        (b, h, w, c),
+        jnp.uint8 if input_dtype == "uint8" else jnp.float32)
+    fwd = _serving_forward(model, variables, output, stats, input_dtype)
     return jex.export(jax.jit(fwd), platforms=list(platforms))(spec)
 
 
 def _metadata(model, *, output: str, batch_size, platforms,
-              class_names=None, stats=None) -> dict:
+              class_names=None, stats=None,
+              input_dtype: str = "float32") -> dict:
     return {
         "format": 1,
         "model_name": model.model_name,
         "arch_kind": str(model.setting.kind),
         "input_size_chw": list(model.setting.input_size),
         "input_layout": "NHWC",
-        "input_dtype": "float32",
+        "input_dtype": input_dtype,
         "num_classes": int(model.setting.num_classes),
         "output": output,
         "batch": "symbolic" if batch_size is None else int(batch_size),
@@ -113,13 +127,15 @@ def save_artifact(path: str, model, variables, *,
                   output: str = "logits",
                   stats: Optional[Tuple[np.ndarray, np.ndarray]] = None,
                   class_names: Optional[Sequence[str]] = None,
+                  input_dtype: str = "float32",
                   platforms: Sequence[str] = _DEFAULT_PLATFORMS) -> dict:
     """Export + write the single-file artifact. Returns the metadata."""
     exported = export_model(model, variables, batch_size=batch_size,
-                            output=output, stats=stats, platforms=platforms)
+                            output=output, stats=stats,
+                            input_dtype=input_dtype, platforms=platforms)
     meta = _metadata(model, output=output, batch_size=batch_size,
                      platforms=platforms, class_names=class_names,
-                     stats=stats)
+                     stats=stats, input_dtype=input_dtype)
     blob = bytes(exported.serialize())
     meta_bytes = json.dumps(meta).encode("utf-8")
     tmp = path + ".tmp"
@@ -145,7 +161,9 @@ class ServingModel:
         self._call = jax.jit(exported.call)
 
     def __call__(self, x):
-        x = jnp.asarray(x, jnp.float32)
+        wire = jnp.uint8 if self.meta.get("input_dtype") == "uint8" \
+            else jnp.float32
+        x = jnp.asarray(x, wire)
         if x.ndim == 3:
             x = x[None]
         return self._call(x)
@@ -174,6 +192,7 @@ def export_trainer(trainer, path: str, *,
                    output: str = "logits",
                    stats: Optional[Tuple[np.ndarray, np.ndarray]] = None,
                    class_names: Optional[Sequence[str]] = None,
+                   input_dtype: str = "float32",
                    platforms: Sequence[str] = _DEFAULT_PLATFORMS) -> dict:
     """Export a Trainer's current (typically checkpoint-loaded) state."""
     variables = {"params": trainer.state.params,
@@ -182,4 +201,5 @@ def export_trainer(trainer, path: str, *,
         getattr(trainer, "class_names", None)
     return save_artifact(path, trainer.model, variables,
                          batch_size=batch_size, output=output, stats=stats,
-                         class_names=names, platforms=platforms)
+                         class_names=names, input_dtype=input_dtype,
+                         platforms=platforms)

@@ -27,6 +27,9 @@ CINIC_ROOT = "/root/reference/data/CINIC-10"
 
 def main():
     result_path = sys.argv[1]
+    # --uint8: raw bytes on the wire (4x fewer host->device bytes), /255
+    # dequant baked into the artifact — the production wire format
+    use_u8 = "--uint8" in sys.argv
     with open(result_path) as f:
         record = json.load(f)
 
@@ -50,10 +53,12 @@ def main():
 
     path = "/tmp/rn_cinic_serve.cnx"
     meta = export_trainer(trainer, path, stats=(ds.mean, ds.std),
-                          class_names=ds.class_names)
+                          class_names=ds.class_names,
+                          input_dtype="uint8" if use_u8 else "float32")
     size_mb = os.path.getsize(path) / 1e6
     print(f"exported {meta['model_name']} ({size_mb:.1f} MB, baked norm, "
-          f"classes={len(ds.class_names)})", flush=True)
+          f"wire={meta['input_dtype']}, classes={len(ds.class_names)})",
+          flush=True)
 
     served = load_artifact(path)
     n = len(ds)
@@ -65,10 +70,14 @@ def main():
     t0 = time.perf_counter()
     for i0 in range(0, n, bs):
         idx = np.arange(i0, min(i0 + bs, n))
-        x, y = ds.load(idx)          # fp32 [0,1] raw pixels
-        pred = np.argmax(np.asarray(served(x)), axis=-1)
+        if use_u8:
+            xw, y = ds.load_raw(idx)  # uint8 raw bytes on the wire
+        else:
+            xw, y = ds.load(idx)     # fp32 [0,1] raw pixels
+        pred = np.argmax(np.asarray(served(xw)), axis=-1)
         correct += int((pred == y).sum())
         if i0 < 4 * bs:              # live argmax agreement on a sample
+            x = xw.astype(np.float32) / 255.0 if use_u8 else xw
             live, _ = model.apply(
                 trainer_variables(trainer), jnp.asarray((x - mean) / std),
                 train=False)
@@ -84,7 +93,7 @@ def main():
           f"served==live argmax {match_pct:.2f}% of {live_seen}", flush=True)
 
     out = os.path.join(os.path.dirname(os.path.abspath(result_path)),
-                       "serve_cinic.json")
+                       "serve_cinic_u8.json" if use_u8 else "serve_cinic.json")
     with open(out, "w") as f:
         json.dump({
             "config": record["config"],

@@ -92,6 +92,29 @@ def test_probs_output_and_baked_normalization(tmp_path):
     np.testing.assert_allclose(np.asarray(got).sum(-1), 1.0, rtol=1e-5)
 
 
+def test_uint8_wire_format(tmp_path):
+    """uint8 artifact: raw bytes in, /255 dequant (+ norm) in-graph —
+    must match the fp32 path fed the same pixels."""
+    model, variables = _tiny_model()
+    mean = np.array([0.4, 0.5, 0.45], np.float32)
+    std = np.array([0.2, 0.25, 0.3], np.float32)
+    path = str(tmp_path / "lenet_u8.cnx")
+    save_artifact(path, model, variables, batch_size=2, stats=(mean, std),
+                  input_dtype="uint8")
+    served = load_artifact(path)
+    assert served.meta["input_dtype"] == "uint8"
+
+    xb = np.random.RandomState(6).randint(0, 256, (2, 16, 16, 3),
+                                          dtype=np.uint8)
+    xf = xb.astype(np.float32) / 255.0
+    xn = (xf - mean.reshape(1, 1, 1, 3)) / std.reshape(1, 1, 1, 3)
+    live, _ = model.apply(variables, jnp.asarray(xn), train=False)
+    np.testing.assert_allclose(np.asarray(served(xb)), np.asarray(live),
+                               rtol=1e-5, atol=1e-5)
+    with pytest.raises(ValueError, match="input_dtype"):
+        export_model(model, variables, batch_size=2, input_dtype="int8")
+
+
 def test_export_dropout_is_inert_and_bf16_policy_exports(tmp_path):
     # mixed-precision model: exported program must carry the bf16 compute
     # policy; eval-mode dropout must be a no-op (deterministic output)
